@@ -1,0 +1,99 @@
+"""Two-view pointmap backbone (TPU rebuild of dust3r/model.py:54-225).
+
+Pure-functional: params are a pytree, all entry points are jit-able.  The
+encoder/decoders run as lax.scan block stacks; both decoder streams and both
+heads share one traced program.
+
+The reference's `_encode_symmetrized` half-forward trick is unnecessary here:
+callers batch images through `encode_image` however they like (Spann3R's
+sequential loop encodes every frame exactly once, batched over time).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DUSt3RConfig, Precision, BF16
+from ..ops.layers import init_layer_norm, init_linear, layer_norm, linear
+from .heads import head_apply, init_head
+from .vit import (dual_decoder_apply, encoder_apply, init_block_stack,
+                  init_decoder_block_stack, init_patch_embed, patch_embed_apply)
+
+
+def init_dust3r(key, cfg: DUSt3RConfig, dtype=jnp.float32):
+    keys = jax.random.split(key, 8)
+    return {
+        "patch_embed": init_patch_embed(keys[0], cfg.patch_size, 3, cfg.enc.dim, dtype),
+        "enc_blocks": init_block_stack(keys[1], cfg.enc, dtype),
+        "enc_norm": init_layer_norm(cfg.enc.dim, dtype),
+        "decoder_embed": init_linear(keys[2], cfg.enc.dim, cfg.dec.dim, dtype=dtype),
+        "dec_blocks": init_decoder_block_stack(keys[3], cfg.dec, dtype),
+        "dec_blocks2": init_decoder_block_stack(keys[4], cfg.dec, dtype),
+        "dec_norm": init_layer_norm(cfg.dec.dim, dtype),
+        "head1": init_head(keys[5], cfg, dtype),
+        "head2": init_head(keys[6], cfg, dtype),
+    }
+
+
+def encode_image(params, img: jax.Array, cfg: DUSt3RConfig,
+                 prec: Precision = BF16, remat: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """img: (B, H, W, 3) normalized NHWC -> tokens (B, N, D), pos (B, N, 2).
+
+    Ref: dust3r/model.py:131-154 (patch embed -> 24 blocks -> norm).
+    """
+    x, pos = patch_embed_apply(params["patch_embed"], img.astype(prec.compute_dtype),
+                               cfg.patch_size)
+    x = encoder_apply(params["enc_blocks"], x, pos, cfg.enc, remat=remat)
+    x = layer_norm(params["enc_norm"], x, cfg.enc.ln_eps)
+    return x, pos
+
+
+def decoder(params, f1: jax.Array, pos1: jax.Array, f2: jax.Array,
+            pos2: jax.Array, cfg: DUSt3RConfig, prec: Precision = BF16,
+            remat: bool = False) -> Tuple[List[jax.Array], List[jax.Array]]:
+    """Dual cross-attending decoder (ref dust3r/model.py:186-205).
+
+    Returns two lists of 1 + dec.depth states: [pre-projection (enc dim)] +
+    per-block outputs (dec dim), with the final state normed — exactly the
+    hook-state contract the DPT head expects.
+    """
+    f1 = f1.astype(prec.compute_dtype)
+    f2 = f2.astype(prec.compute_dtype)
+    p1 = linear(params["decoder_embed"], f1)
+    p2 = linear(params["decoder_embed"], f2)
+    ys1, ys2 = dual_decoder_apply(params["dec_blocks"], params["dec_blocks2"],
+                                  p1, p2, pos1, pos2, cfg.dec, remat=remat)
+    out1 = [f1] + [ys1[i] for i in range(cfg.dec.depth)]
+    out2 = [f2] + [ys2[i] for i in range(cfg.dec.depth)]
+    out1[-1] = layer_norm(params["dec_norm"], out1[-1], cfg.dec.ln_eps)
+    out2[-1] = layer_norm(params["dec_norm"], out2[-1], cfg.dec.ln_eps)
+    return out1, out2
+
+
+def downstream_head(params, head_num: int, dec_states: List[jax.Array],
+                    img_hw: Tuple[int, int], cfg: DUSt3RConfig) -> Dict[str, jax.Array]:
+    """Heads always run fp32 (ref dust3r/model.py:220-222)."""
+    states = [s.astype(jnp.float32) for s in dec_states]
+    return head_apply(params[f"head{head_num}"], states, img_hw, cfg)
+
+
+def forward(params, img1: jax.Array, img2: jax.Array, cfg: DUSt3RConfig,
+            prec: Precision = BF16) -> Tuple[Dict, Dict]:
+    """Two-view forward (ref dust3r/model.py:213-225).
+
+    img1, img2: (B, H, W, 3).  res2's pointmap lives in view1's frame.
+    """
+    hw = img1.shape[1:3]
+    b = img1.shape[0]
+    # batch both views through the encoder in one pass (MXU-friendly)
+    feats, pos = encode_image(params, jnp.concatenate([img1, img2], axis=0),
+                              cfg, prec)
+    f1, f2 = feats[:b], feats[b:]
+    pos1, pos2 = pos[:b], pos[b:]
+    dec1, dec2 = decoder(params, f1, pos1, f2, pos2, cfg, prec)
+    res1 = downstream_head(params, 1, dec1, hw, cfg)
+    res2 = downstream_head(params, 2, dec2, hw, cfg)
+    res2["pts3d_in_other_view"] = res2.pop("pts3d")
+    return res1, res2

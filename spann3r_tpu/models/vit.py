@@ -1,0 +1,156 @@
+"""ViT encoder/decoder stacks (ref croco/models/blocks.py:114-191).
+
+TPU-first design choices:
+  - Per-depth params are stacked along a leading axis and the stack runs under
+    `lax.scan`, so the 24-deep encoder compiles as ONE block body instead of 24
+    inlined copies (fast compiles, identical runtime — XLA unrolls nothing it
+    doesn't need to).
+  - The decoder scan emits every intermediate state as scan ys, giving the 13
+    hook states the DPT head needs (ref dust3r/model.py:186-205) with no
+    Python-level accumulation.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ViTConfig
+from ..ops.attention import (cross_attention, init_cross_attention,
+                             init_self_attention, self_attention)
+from ..ops.layers import (conv2d, init_conv2d, init_layer_norm, init_mlp,
+                          layer_norm, mlp)
+
+
+# ---------------------------------------------------------------------------
+# single blocks
+# ---------------------------------------------------------------------------
+
+def block_apply(p, x: jax.Array, pos: Optional[jax.Array], cfg: ViTConfig) -> jax.Array:
+    """Pre-LN self-attn + MLP block (ref blocks.py:127-130)."""
+    x = x + self_attention(p["attn"], layer_norm(p["norm1"], x, cfg.ln_eps),
+                           pos, cfg.num_heads, cfg.rope_base)
+    x = x + mlp(p["mlp"], layer_norm(p["norm2"], x, cfg.ln_eps))
+    return x
+
+
+def decoder_block_apply(p, x: jax.Array, y: jax.Array,
+                        xpos: Optional[jax.Array], ypos: Optional[jax.Array],
+                        cfg: ViTConfig) -> jax.Array:
+    """Self-attn -> cross-attn(normed y) -> MLP (ref blocks.py:186-191)."""
+    x = x + self_attention(p["attn"], layer_norm(p["norm1"], x, cfg.ln_eps),
+                           xpos, cfg.num_heads, cfg.rope_base)
+    y_ = layer_norm(p["norm_y"], y, cfg.ln_eps)
+    x = x + cross_attention(p["cross_attn"], layer_norm(p["norm2"], x, cfg.ln_eps),
+                            y_, y_, xpos, ypos, cfg.num_heads, cfg.rope_base)
+    x = x + mlp(p["mlp"], layer_norm(p["norm3"], x, cfg.ln_eps))
+    return x
+
+
+def init_block(key, cfg: ViTConfig, dtype=jnp.float32):
+    ka, km = jax.random.split(key)
+    return {
+        "norm1": init_layer_norm(cfg.dim, dtype),
+        "attn": init_self_attention(ka, cfg.dim, cfg.qkv_bias, dtype),
+        "norm2": init_layer_norm(cfg.dim, dtype),
+        "mlp": init_mlp(km, cfg.dim, int(cfg.dim * cfg.mlp_ratio), dtype),
+    }
+
+
+def init_decoder_block(key, cfg: ViTConfig, dtype=jnp.float32):
+    ka, kc, km = jax.random.split(key, 3)
+    return {
+        "norm1": init_layer_norm(cfg.dim, dtype),
+        "attn": init_self_attention(ka, cfg.dim, cfg.qkv_bias, dtype),
+        "norm2": init_layer_norm(cfg.dim, dtype),
+        "cross_attn": init_cross_attention(kc, cfg.dim, cfg.qkv_bias, dtype),
+        "norm3": init_layer_norm(cfg.dim, dtype),
+        "mlp": init_mlp(km, cfg.dim, int(cfg.dim * cfg.mlp_ratio), dtype),
+        "norm_y": init_layer_norm(cfg.dim, dtype),
+    }
+
+
+def stack_params(param_list):
+    """Stack a list of identically-shaped param pytrees along a new axis 0."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *param_list)
+
+
+def init_block_stack(key, cfg: ViTConfig, dtype=jnp.float32):
+    keys = jax.random.split(key, cfg.depth)
+    return stack_params([init_block(k, cfg, dtype) for k in keys])
+
+
+def init_decoder_block_stack(key, cfg: ViTConfig, dtype=jnp.float32):
+    keys = jax.random.split(key, cfg.depth)
+    return stack_params([init_decoder_block(k, cfg, dtype) for k in keys])
+
+
+# ---------------------------------------------------------------------------
+# stacked-scan encoders/decoders
+# ---------------------------------------------------------------------------
+
+def encoder_apply(stacked, x: jax.Array, pos: Optional[jax.Array],
+                  cfg: ViTConfig, remat: bool = False) -> jax.Array:
+    """Run a stack of Blocks via lax.scan over the depth axis."""
+    def body(carry, p):
+        out = block_apply(p, carry, pos, cfg)
+        return out, None
+
+    if remat:
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, stacked)
+    return x
+
+
+def dual_decoder_apply(stacked1, stacked2, f1: jax.Array, f2: jax.Array,
+                       pos1, pos2, cfg: ViTConfig,
+                       remat: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """Dual cross-attending decoder streams (ref dust3r/model.py:186-205).
+
+    Each step the two streams attend to the *other* stream's previous output.
+    Returns stacked per-depth states (depth, B, N, C) for each stream —
+    callers prepend the pre-projection state and norm the last one.
+    """
+    def body(carry, ps):
+        c1, c2 = carry
+        p1, p2 = ps
+        n1 = decoder_block_apply(p1, c1, c2, pos1, pos2, cfg)
+        n2 = decoder_block_apply(p2, c2, c1, pos2, pos1, cfg)
+        return (n1, n2), (n1, n2)
+
+    if remat:
+        body = jax.checkpoint(body)
+    _, (ys1, ys2) = jax.lax.scan(body, (f1, f2), (stacked1, stacked2))
+    return ys1, ys2
+
+
+# ---------------------------------------------------------------------------
+# patch embedding
+# ---------------------------------------------------------------------------
+
+def patch_positions(h_patches: int, w_patches: int) -> jax.Array:
+    """(N, 2) int32 (y, x) positions, row-major (ref blocks.py:195-207)."""
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h_patches, w_patches), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h_patches, w_patches), 1)
+    return jnp.stack([ys, xs], axis=-1).reshape(-1, 2)
+
+
+def patch_embed_apply(p, img: jax.Array, patch_size: int = 16) -> Tuple[jax.Array, jax.Array]:
+    """img: (B, H, W, C) NHWC -> tokens (B, N, D), positions (B, N, 2).
+
+    Equivalent to the reference's Conv2d(k=16, s=16) + flatten
+    (ref blocks.py:209-236 / dust3r/patch_embed.py:19-29), landscape layout.
+    """
+    b, h, w, _ = img.shape
+    assert h % patch_size == 0 and w % patch_size == 0
+    x = conv2d(p["proj"], img, stride=patch_size, padding="VALID")
+    hp, wp = h // patch_size, w // patch_size
+    tokens = x.reshape(b, hp * wp, x.shape[-1])
+    pos = jnp.broadcast_to(patch_positions(hp, wp)[None], (b, hp * wp, 2))
+    return tokens, pos
+
+
+def init_patch_embed(key, patch_size: int, in_chans: int, dim: int, dtype=jnp.float32):
+    return {"proj": init_conv2d(key, patch_size, patch_size, in_chans, dim,
+                                bias=True, dtype=dtype, xavier_flat=True)}

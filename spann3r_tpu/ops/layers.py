@@ -1,0 +1,155 @@
+"""Primitive NN layers as pure functions over param pytrees.
+
+Conventions (chosen for clean torch-checkpoint conversion AND TPU layouts):
+  - Linear params: {'w': (in, out), 'b': (out,)}  (torch (out,in) is transposed
+    by the converter in utils/torch_ckpt.py).
+  - LayerNorm params: {'scale': (d,), 'bias': (d,)} with eps passed at call.
+  - Conv2d params: {'w': (kh, kw, cin, cout) HWIO, 'b': (cout,)}; activations
+    are NHWC (TPU-native), unlike the reference's NCHW.
+
+All matmuls go through `dot` which sets preferred_element_type=float32 so the
+MXU accumulates in fp32 even when activations are bf16.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def dot(x: jax.Array, w: jax.Array) -> jax.Array:
+    return jax.lax.dot_general(
+        x, w,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def linear(p, x: jax.Array) -> jax.Array:
+    y = dot(x, p["w"].astype(x.dtype))
+    if p.get("b") is not None:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def layer_norm(p, x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    # reference LayerNorm runs in fp32 under AMP; normalize in fp32 for parity
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    # torch nn.GELU default is the exact erf formulation
+    return jax.nn.gelu(x, approximate=False)
+
+
+def mlp(p, x: jax.Array) -> jax.Array:
+    """Transformer MLP: fc1 -> GELU -> fc2 (ref croco/models/blocks.py:58-79)."""
+    return linear(p["fc2"], gelu(linear(p["fc1"], x)))
+
+
+def conv2d(p, x: jax.Array, stride: int = 1, padding="SAME") -> jax.Array:
+    """NHWC conv with HWIO kernel."""
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if p.get("b") is not None:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def conv2d_transpose(p, x: jax.Array, stride: int) -> jax.Array:
+    """NHWC transposed conv, kernel (kh, kw, cin, cout), matching
+    torch ConvTranspose2d(k=stride, s=stride) semantics (non-overlapping)."""
+    y = jax.lax.conv_transpose(
+        x, p["w"].astype(x.dtype),
+        strides=(stride, stride),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if p.get("b") is not None:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def interpolate_bilinear(x: jax.Array, out_hw: tuple[int, int],
+                         align_corners: bool = True) -> jax.Array:
+    """Bilinear resize of NHWC maps replicating torch F.interpolate semantics.
+
+    The DPT fusion blocks use align_corners=True (ref croco/models/dpt_block.py:215),
+    which jax.image.resize does not implement, so we gather explicitly.
+    """
+    _, h, w, _ = x.shape
+    oh, ow = out_hw
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+
+    def src_coords(osz, isz):
+        if align_corners and osz > 1:
+            return jnp.arange(osz, dtype=jnp.float32) * ((isz - 1) / (osz - 1))
+        scale = isz / osz
+        c = (jnp.arange(osz, dtype=jnp.float32) + 0.5) * scale - 0.5
+        return jnp.clip(c, 0.0, isz - 1)
+
+    ys, xs = src_coords(oh, h), src_coords(ow, w)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = (ys - y0.astype(jnp.float32))[None, :, None, None]
+    wx = (xs - x0.astype(jnp.float32))[None, None, :, None]
+
+    top = xf[:, y0][:, :, x0] * (1 - wx) + xf[:, y0][:, :, x1] * wx
+    bot = xf[:, y1][:, :, x0] * (1 - wx) + xf[:, y1][:, :, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return out.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# initializers (match torch defaults used by the reference)
+# ---------------------------------------------------------------------------
+
+def _xavier_uniform(key, shape, fan_in, fan_out, dtype=jnp.float32):
+    limit = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def init_linear(key, d_in: int, d_out: int, bias: bool = True, dtype=jnp.float32):
+    # reference initializes every nn.Linear with xavier_uniform + zero bias
+    # (croco/models/croco.py:119-124)
+    p = {"w": _xavier_uniform(key, (d_in, d_out), d_in, d_out, dtype)}
+    p["b"] = jnp.zeros((d_out,), dtype) if bias else None
+    return p
+
+
+def init_layer_norm(d: int, dtype=jnp.float32):
+    return {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
+
+
+def init_mlp(key, d: int, hidden: int, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {"fc1": init_linear(k1, d, hidden, dtype=dtype),
+            "fc2": init_linear(k2, hidden, d, dtype=dtype)}
+
+
+def init_conv2d(key, kh: int, kw: int, cin: int, cout: int, bias: bool = True,
+                dtype=jnp.float32, xavier_flat: bool = False):
+    if xavier_flat:
+        # patch-embed init flattens the kernel (croco/models/blocks.py:238-240)
+        fan_in, fan_out = kh * kw * cin, cout
+    else:
+        fan_in, fan_out = kh * kw * cin, kh * kw * cout
+    p = {"w": _xavier_uniform(key, (kh, kw, cin, cout), fan_in, fan_out, dtype)}
+    p["b"] = jnp.zeros((cout,), dtype) if bias else None
+    return p

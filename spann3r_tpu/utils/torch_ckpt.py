@@ -1,0 +1,197 @@
+"""Torch .pth checkpoint ingestion -> JAX param pytrees.
+
+Loads the published DUSt3R / Spann3R state_dicts (ref naming from
+dust3r/model.py, spann3r/model.py, croco/models/*) and re-lays them out for
+this framework:
+  - nn.Linear (out,in) -> {'w': (in,out), 'b': (out,)}
+  - LayerNorm  -> {'scale', 'bias'}
+  - Conv2d OIHW -> HWIO
+  - ConvTranspose2d (in,out,kh,kw) -> HWIO with spatial flip (we call
+    lax.conv_transpose with transpose_kernel=False, which does not flip)
+  - per-depth block params stacked along a leading axis for lax.scan
+Handles the reference's dec_blocks -> dec_blocks2 duplication rule
+(dust3r/model.py:94-101).
+
+Also provides the reverse mapping for state_dict-shaped numpy dicts so tests
+can round-trip randomly-initialised reference modules through the converter.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DUSt3RConfig, Spann3RConfig
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a torch .pth file into {key: float32 ndarray} without keeping
+    torch tensors alive. Requires torch (CPU) at call time only."""
+    import torch  # local import: torch is only needed for ingestion
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+    if hasattr(state, "state_dict"):
+        state = state.state_dict()
+    return {k: v.detach().cpu().float().numpy() for k, v in state.items()
+            if hasattr(v, "detach")}
+
+
+# ---------------------------------------------------------------------------
+# leaf transforms
+# ---------------------------------------------------------------------------
+
+def _lin(sd, prefix) -> Dict[str, Any]:
+    p = {"w": jnp.asarray(sd[prefix + ".weight"].T)}
+    p["b"] = jnp.asarray(sd[prefix + ".bias"]) if prefix + ".bias" in sd else None
+    return p
+
+
+def _ln(sd, prefix) -> Dict[str, Any]:
+    return {"scale": jnp.asarray(sd[prefix + ".weight"]),
+            "bias": jnp.asarray(sd[prefix + ".bias"])}
+
+
+def _conv(sd, prefix) -> Dict[str, Any]:
+    w = sd[prefix + ".weight"]  # (O, I, kh, kw)
+    p = {"w": jnp.asarray(np.transpose(w, (2, 3, 1, 0)))}
+    p["b"] = jnp.asarray(sd[prefix + ".bias"]) if prefix + ".bias" in sd else None
+    return p
+
+
+def _deconv(sd, prefix) -> Dict[str, Any]:
+    w = sd[prefix + ".weight"]  # (I, O, kh, kw)
+    w = np.transpose(w, (2, 3, 0, 1))[::-1, ::-1]  # HWIO, spatially flipped
+    p = {"w": jnp.asarray(np.ascontiguousarray(w))}
+    p["b"] = jnp.asarray(sd[prefix + ".bias"]) if prefix + ".bias" in sd else None
+    return p
+
+
+def _block(sd, prefix) -> Dict[str, Any]:
+    return {
+        "norm1": _ln(sd, f"{prefix}.norm1"),
+        "attn": {"qkv": _lin(sd, f"{prefix}.attn.qkv"),
+                 "proj": _lin(sd, f"{prefix}.attn.proj")},
+        "norm2": _ln(sd, f"{prefix}.norm2"),
+        "mlp": {"fc1": _lin(sd, f"{prefix}.mlp.fc1"),
+                "fc2": _lin(sd, f"{prefix}.mlp.fc2")},
+    }
+
+
+def _decoder_block(sd, prefix) -> Dict[str, Any]:
+    p = _block(sd, prefix)
+    p["cross_attn"] = {
+        "projq": _lin(sd, f"{prefix}.cross_attn.projq"),
+        "projk": _lin(sd, f"{prefix}.cross_attn.projk"),
+        "projv": _lin(sd, f"{prefix}.cross_attn.projv"),
+        "proj": _lin(sd, f"{prefix}.cross_attn.proj"),
+    }
+    p["norm3"] = _ln(sd, f"{prefix}.norm3")
+    p["norm_y"] = _ln(sd, f"{prefix}.norm_y")
+    return p
+
+
+def _stack(blocks) -> Dict[str, Any]:
+    import jax
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+
+
+def _count_depth(sd: Mapping[str, Any], prefix: str) -> int:
+    pat = re.compile(re.escape(prefix) + r"\.(\d+)\.")
+    idxs = {int(m.group(1)) for k in sd if (m := pat.match(k))}
+    return max(idxs) + 1 if idxs else 0
+
+
+def _block_stack(sd, prefix, decoder=False) -> Dict[str, Any]:
+    depth = _count_depth(sd, prefix)
+    fn = _decoder_block if decoder else _block
+    return _stack([fn(sd, f"{prefix}.{i}") for i in range(depth)])
+
+
+def _dpt_head(sd, prefix) -> Dict[str, Any]:
+    p = {
+        "act0_conv": _conv(sd, f"{prefix}.act_postprocess.0.0"),
+        "act0_deconv": _deconv(sd, f"{prefix}.act_postprocess.0.1"),
+        "act1_conv": _conv(sd, f"{prefix}.act_postprocess.1.0"),
+        "act1_deconv": _deconv(sd, f"{prefix}.act_postprocess.1.1"),
+        "act2_conv": _conv(sd, f"{prefix}.act_postprocess.2.0"),
+        "act3_conv": _conv(sd, f"{prefix}.act_postprocess.3.0"),
+        "act3_conv2": _conv(sd, f"{prefix}.act_postprocess.3.1"),
+        "head_conv1": _conv(sd, f"{prefix}.head.0"),
+        "head_conv2": _conv(sd, f"{prefix}.head.2"),
+        "head_conv3": _conv(sd, f"{prefix}.head.4"),
+    }
+    for i in range(4):
+        p[f"rn{i}"] = _conv(sd, f"{prefix}.scratch.layer{i + 1}_rn")
+        rf = f"{prefix}.scratch.refinenet{i + 1}"
+        p[f"refine{i + 1}"] = {
+            "res1": {"conv1": _conv(sd, f"{rf}.resConfUnit1.conv1"),
+                     "conv2": _conv(sd, f"{rf}.resConfUnit1.conv2")},
+            "res2": {"conv1": _conv(sd, f"{rf}.resConfUnit2.conv1"),
+                     "conv2": _conv(sd, f"{rf}.resConfUnit2.conv2")},
+            "out_conv": _conv(sd, f"{rf}.out_conv"),
+        }
+    return p
+
+
+def _head(sd, prefix, cfg: DUSt3RConfig) -> Dict[str, Any]:
+    if cfg.head_type == "dpt":
+        return _dpt_head(sd, f"{prefix}.dpt")
+    return {"proj": _lin(sd, f"{prefix}.proj")}
+
+
+# ---------------------------------------------------------------------------
+# model-level converters
+# ---------------------------------------------------------------------------
+
+def convert_dust3r(sd: Mapping[str, np.ndarray], cfg: DUSt3RConfig) -> Dict[str, Any]:
+    """state_dict of AsymmetricCroCo3DStereo -> dust3r param pytree."""
+    sd = dict(sd)
+    # second decoder falls back to the first if absent (dust3r/model.py:94-101)
+    if not any(k.startswith("dec_blocks2") for k in sd):
+        for k in list(sd):
+            if k.startswith("dec_blocks."):
+                sd[k.replace("dec_blocks.", "dec_blocks2.", 1)] = sd[k]
+    return {
+        "patch_embed": {"proj": _conv(sd, "patch_embed.proj")},
+        "enc_blocks": _block_stack(sd, "enc_blocks"),
+        "enc_norm": _ln(sd, "enc_norm"),
+        "decoder_embed": _lin(sd, "decoder_embed"),
+        "dec_blocks": _block_stack(sd, "dec_blocks", decoder=True),
+        "dec_blocks2": _block_stack(sd, "dec_blocks2", decoder=True),
+        "dec_norm": _ln(sd, "dec_norm"),
+        "head1": _head(sd, "downstream_head1", cfg),
+        "head2": _head(sd, "downstream_head2", cfg),
+    }
+
+
+def convert_spann3r(sd: Mapping[str, np.ndarray], cfg: Spann3RConfig) -> Dict[str, Any]:
+    """state_dict of the full Spann3R nn.Module -> spann3r param pytree."""
+    dust3r_sd = {k[len("dust3r."):]: v for k, v in sd.items()
+                 if k.startswith("dust3r.")}
+    p = {
+        "dust3r": convert_dust3r(dust3r_sd, cfg.dust3r),
+        "value_encoder": _block_stack(sd, "value_encoder"),
+        "value_norm": _ln(sd, "value_norm"),
+        "value_out": _lin(sd, "value_out"),
+        "norm_q": _ln(sd, "norm_q"),
+        "norm_k": _ln(sd, "norm_k"),
+        "norm_v": _ln(sd, "norm_v"),
+        "attn_head_1": {"fc1": _lin(sd, "attn_head_1.0"),
+                        "fc2": _lin(sd, "attn_head_1.2")},
+        "attn_head_2": {"fc1": _lin(sd, "attn_head_2.0"),
+                        "fc2": _lin(sd, "attn_head_2.2")},
+    }
+    if not cfg.use_feat:
+        p["pos_patch_embed"] = {"proj": _conv(sd, "pos_patch_embed.proj")}
+    return p
+
+
+def load_dust3r_checkpoint(path: str, cfg: DUSt3RConfig) -> Dict[str, Any]:
+    return convert_dust3r(load_torch_state_dict(path), cfg)
+
+
+def load_spann3r_checkpoint(path: str, cfg: Spann3RConfig) -> Dict[str, Any]:
+    return convert_spann3r(load_torch_state_dict(path), cfg)

@@ -1,0 +1,47 @@
+"""Test harness: run JAX on a virtual 8-device CPU mesh.
+
+Must set env vars before jax initializes a backend. Multi-chip sharding
+logic is validated on these virtual devices; real-TPU benchmarks live in
+bench.py, not the test suite.
+"""
+import os
+import sys
+
+# This environment pre-imports jax (sitecustomize) with JAX_PLATFORMS=axon,
+# so plain env vars are too late — use jax.config before any backend init.
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+import pytest  # noqa: E402
+
+
+def _add_reference_paths():
+    """The reference repo (read-only) serves as a numerical test oracle."""
+    for p in (REF, os.path.join(REF, "croco")):
+        if os.path.isdir(p) and p not in sys.path:
+            sys.path.append(p)
+
+
+_add_reference_paths()
+
+
+@pytest.fixture(scope="session")
+def rng():
+    import numpy as np
+    return np.random.default_rng(0)
+
+
+def has_reference():
+    return os.path.isdir(REF)
+
+
+requires_reference = pytest.mark.skipif(
+    not has_reference(), reason="reference repo not mounted")
