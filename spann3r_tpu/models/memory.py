@@ -1,0 +1,203 @@
+"""Spatial memory: fixed-capacity token bank with masked ops.
+
+TPU re-design of the reference SpatialMemory (spann3r/model.py:11-210),
+which grows tensors with torch.cat and prunes with data-dependent shapes.
+Here the bank has a STATIC capacity with a validity count, so every op is a
+masked dense op and the whole frame loop compiles under jit/lax.scan:
+
+  - append       = dynamic_update_slice at the current size
+  - dedup check  = masked cosine similarity vs the working-memory window
+  - spill        = counter bookkeeping only (working -> long-term)
+  - prune        = lax.top_k over masked usage weights + gather
+  - read         = single-head attention with -inf masking + threshold renorm
+
+Semantics match the reference exactly (incl. the prune protection rule for
+slots younger than work_mem_size+5 frames and the attention-sparsification
+threshold); tests/test_memory.py checks behavioural parity step by step.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MemoryConfig
+from ..ops.layers import layer_norm
+
+NEG_INF = -1e30
+
+
+class MemoryState(NamedTuple):
+    """Token bank. Slots [0, size) are valid; order matches the reference's
+    append/prune ordering so working memory is always the suffix."""
+    k: jax.Array        # (B, C, D) keys
+    v: jax.Array        # (B, C, D) values
+    count: jax.Array    # (B, C) age of each slot in frames
+    attn: jax.Array     # (B, C) accumulated attention received
+    size: jax.Array     # () int32 — number of valid token slots
+    wm: jax.Array       # () int32 — number of working-memory frames
+    lm: jax.Array       # () int32 — number of long-term tokens
+
+
+def init_memory(batch: int, capacity: int, dim: int,
+                dtype=jnp.bfloat16) -> MemoryState:
+    return MemoryState(
+        k=jnp.zeros((batch, capacity, dim), dtype),
+        v=jnp.zeros((batch, capacity, dim), dtype),
+        count=jnp.zeros((batch, capacity), jnp.float32),
+        attn=jnp.zeros((batch, capacity), jnp.float32),
+        size=jnp.zeros((), jnp.int32),
+        wm=jnp.zeros((), jnp.int32),
+        lm=jnp.zeros((), jnp.int32),
+    )
+
+
+def _valid_mask(state: MemoryState) -> jax.Array:
+    c = state.k.shape[1]
+    return (jnp.arange(c, dtype=jnp.int32) < state.size)[None, :]  # (1, C)
+
+
+def memory_read(norms, state: MemoryState, feat: jax.Array,
+                attn_thresh: float, ln_eps: float = 1e-6,
+                dropout_rng: Optional[jax.Array] = None,
+                dropout_rate: float = 0.0,
+                res: bool = True) -> Tuple[jax.Array, MemoryState]:
+    """Attention readout of the bank (ref spann3r/model.py:145-183).
+
+    feat: (B, P, D) query features.  Returns (fused (B, P, D), state with
+    accumulated attention).  Returns feat unchanged when the bank is empty.
+    """
+    d = feat.shape[-1]
+    q = layer_norm(norms["norm_q"], feat, ln_eps)
+    k = layer_norm(norms["norm_k"], state.k.astype(feat.dtype), ln_eps)
+    vv = layer_norm(norms["norm_v"], state.v.astype(feat.dtype), ln_eps)
+
+    logits = jnp.einsum("bpc,bxc->bpx", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits / jnp.sqrt(jnp.float32(d))
+    valid = _valid_mask(state)  # (1, C)
+    logits = jnp.where(valid[:, None, :], logits, NEG_INF)
+    attn = jax.nn.softmax(logits, axis=-1)
+
+    if dropout_rng is not None and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, attn.shape)
+        attn = attn * keep / (1.0 - dropout_rate)
+
+    if attn_thresh > 0:
+        attn = jnp.where(attn < attn_thresh, 0.0, attn)
+        attn = attn / (jnp.sum(attn, axis=-1, keepdims=True) + 1e-12)
+
+    out = jnp.einsum("bpx,bxc->bpc", attn.astype(vv.dtype), vv,
+                     preferred_element_type=jnp.float32).astype(feat.dtype)
+    if res:
+        out = out + feat
+
+    has_mem = state.size > 0
+    out = jnp.where(has_mem, out, feat)
+    new_attn = state.attn + jnp.where(has_mem, jnp.sum(attn, axis=-2), 0.0)
+    return out, state._replace(attn=new_attn)
+
+
+def _append(state: MemoryState, feat_k: jax.Array, feat_v: jax.Array) -> MemoryState:
+    """Unconditional append of one frame's P tokens (ref model.py:80-95).
+    Valid slots age by one frame; new slots start at age 0 / attn 0."""
+    p = feat_k.shape[1]
+    valid = _valid_mask(state).astype(jnp.float32)
+    count = state.count + valid
+    zeros_p = jnp.zeros((state.k.shape[0], p), jnp.float32)
+    start = (jnp.zeros((), jnp.int32), state.size)
+    return state._replace(
+        k=jax.lax.dynamic_update_slice(state.k, feat_k.astype(state.k.dtype),
+                                       (jnp.int32(0), state.size, jnp.int32(0))),
+        v=jax.lax.dynamic_update_slice(state.v, feat_v.astype(state.v.dtype),
+                                       (jnp.int32(0), state.size, jnp.int32(0))),
+        count=jax.lax.dynamic_update_slice(count, zeros_p, start),
+        attn=jax.lax.dynamic_update_slice(state.attn, zeros_p, start),
+        size=state.size + p,
+    )
+
+
+def add_mem(state: MemoryState, feat_k: jax.Array, feat_v: jax.Array) -> MemoryState:
+    """Training-mode write: append only (ref model.py:518-519)."""
+    return _append(state, feat_k, feat_v)
+
+
+def check_sim(state: MemoryState, feat_k: jax.Array, num_patches: int,
+              work_mem_size: int, sim_thresh: float) -> jax.Array:
+    """Mean-cosine dedup vs working memory (ref model.py:97-118) -> bool ()."""
+    b, p, d = feat_k.shape
+    w_frames = work_mem_size
+    w_tokens = w_frames * num_patches
+    # gather the last wm*P valid tokens into a fixed (B, Wf, P, D) window
+    start = state.size - state.wm * num_patches
+    idx = start + jnp.arange(w_tokens, dtype=jnp.int32)
+    idx = jnp.clip(idx, 0, state.k.shape[1] - 1)
+    window = jnp.take(state.k, idx, axis=1).astype(jnp.float32)
+    window = window.reshape(b, w_frames, num_patches, d)
+
+    fk = feat_k.astype(jnp.float32)
+    fk = fk / jnp.clip(jnp.linalg.norm(fk, axis=-1, keepdims=True), 1e-12)
+    wn = window / jnp.clip(jnp.linalg.norm(window, axis=-1, keepdims=True), 1e-12)
+    corr = jnp.einsum("bpc,btpc->btp", fk, wn)
+    mean_corr = jnp.mean(corr, axis=-1)  # (B, Wf)
+    # window rows [0, wm) hold the valid working frames (slice starts at
+    # size - wm*P); rows beyond wm are clipped junk -> masked out
+    frame_valid = (jnp.arange(w_frames, dtype=jnp.int32) < state.wm)[None]
+    mean_corr = jnp.where(frame_valid, mean_corr, NEG_INF)
+    return (state.size > 0) & (jnp.max(mean_corr) > sim_thresh)
+
+
+def memory_prune(state: MemoryState, cfg: MemoryConfig) -> MemoryState:
+    """Keep top long_mem_size slots by accumulated-attention/age weight,
+    protecting young slots (ref model.py:185-210)."""
+    weights = state.attn / jnp.clip(state.count, 1e-8)
+    weights = jnp.where(state.count < cfg.prune_protect_age, 1e8, weights)
+    weights = jnp.where(_valid_mask(state), weights, NEG_INF)
+    _, idx = jax.lax.top_k(weights, cfg.long_mem_size)  # (B, K) stable ties
+    gather = lambda arr: jnp.take_along_axis(
+        arr, idx[..., None] if arr.ndim == 3 else idx, axis=1)
+    c = state.k.shape[1]
+    pad = c - cfg.long_mem_size
+
+    def padded(arr):
+        g = gather(arr)
+        shape = list(g.shape)
+        shape[1] = pad
+        return jnp.concatenate([g, jnp.zeros(shape, g.dtype)], axis=1)
+
+    return state._replace(
+        k=padded(state.k), v=padded(state.v),
+        count=padded(state.count), attn=padded(state.attn),
+        size=jnp.int32(cfg.long_mem_size),
+    )
+
+
+def add_mem_check(state: MemoryState, feat_k: jax.Array, feat_v: jax.Array,
+                  cfg: MemoryConfig) -> MemoryState:
+    """Eval-mode write: dedup -> append -> spill -> prune
+    (ref spann3r/model.py:120-143)."""
+    p = feat_k.shape[1]
+    dup = check_sim(state, feat_k, p, cfg.work_mem_size, cfg.sim_thresh)
+
+    def do_add(s: MemoryState) -> MemoryState:
+        s = _append(s, feat_k, feat_v)
+        s = s._replace(wm=s.wm + 1)
+        # working -> long-term spill (counter-only; the bank is contiguous)
+        spill = s.wm > cfg.work_mem_size
+        s = s._replace(
+            wm=jnp.where(spill, s.wm - 1, s.wm),
+            lm=jnp.where(spill, s.lm + p, s.lm),
+        )
+        # prune when long-term exceeds its budget; statically unreachable when
+        # the bank can never exceed long_mem_size (e.g. short training clips)
+        if cfg.long_mem_size >= s.k.shape[1]:
+            return s
+
+        def prune(s2: MemoryState) -> MemoryState:
+            s3 = memory_prune(s2, cfg)
+            return s3._replace(lm=jnp.int32(cfg.long_mem_size) - s3.wm * p)
+
+        return jax.lax.cond(s.lm > cfg.long_mem_size, prune, lambda x: x, s)
+
+    return jax.lax.cond(dup, lambda s: s, do_add, state)

@@ -1,0 +1,267 @@
+"""Spann3R: DUSt3R wrapped in a spatial memory (TPU rebuild of spann3r/model.py).
+
+Architecture (parity with the reference, independent implementation):
+  - frozen-shape DUSt3R backbone (models/dust3r.py)
+  - 6-block value encoder @1024 + LayerNorm + Linear (ref model.py:228-248)
+  - pointmap patch embed (a second patch embed tokenizing predicted pts3d)
+  - two attn-head MLPs (1792 -> 1792 -> 1024) building memory queries/keys
+    from encoder feat (1024) ++ last decoder state (768) (ref model.py:250-261)
+  - q/k/v LayerNorms + memory dropout
+
+TPU-first deviations from the reference's *implementation* (same semantics):
+  - All frames are encoded in ONE batched ViT-L pass (the reference encodes
+    each frame lazily inside the python loop); the sequential part is only
+    the decode+memory scan.
+  - The frame loop is lax.scan with a fixed-capacity memory, so the whole
+    T-frame training step is a single XLA program.
+  - Inference runs as a host loop over a handful of jitted step functions
+    with static shapes (compiled once, streamed over arbitrarily long video).
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import BF16, Precision, Spann3RConfig, ViTConfig
+from ..ops.layers import gelu, init_layer_norm, init_linear, layer_norm, linear
+from . import dust3r as d3
+from .heads import postprocess
+from .memory import (MemoryState, add_mem, add_mem_check, init_memory,
+                     memory_read)
+from .vit import (encoder_apply, init_block_stack, init_patch_embed,
+                  patch_embed_apply)
+
+
+def value_encoder_cfg(cfg: Spann3RConfig) -> ViTConfig:
+    # rope disabled: reference builds value blocks with rope=None unless
+    # mem_pos_enc (spann3r/model.py:232-235)
+    return ViTConfig(dim=cfg.value_enc_dim, depth=cfg.value_enc_depth,
+                     num_heads=cfg.value_enc_heads,
+                     rope_base=100.0 if cfg.mem_pos_enc else 0.0)
+
+
+def init_spann3r(key, cfg: Spann3RConfig, dtype=jnp.float32):
+    keys = jax.random.split(key, 8)
+    p = {
+        "dust3r": d3.init_dust3r(keys[0], cfg.dust3r, dtype),
+        "value_encoder": init_block_stack(keys[1], value_encoder_cfg(cfg), dtype),
+        "value_norm": init_layer_norm(cfg.value_enc_dim, dtype),
+        "value_out": init_linear(keys[2], cfg.value_enc_dim, cfg.attn_head_out, dtype=dtype),
+        "norm_q": init_layer_norm(cfg.attn_head_out, dtype),
+        "norm_k": init_layer_norm(cfg.attn_head_out, dtype),
+        "norm_v": init_layer_norm(cfg.attn_head_out, dtype),
+        "attn_head_1": _init_attn_head(keys[3], cfg, dtype),
+        "attn_head_2": _init_attn_head(keys[4], cfg, dtype),
+    }
+    if not cfg.use_feat:
+        p["pos_patch_embed"] = init_patch_embed(keys[5], cfg.dust3r.patch_size,
+                                                3, cfg.dust3r.enc.dim, dtype)
+    return p
+
+
+def _init_attn_head(key, cfg: Spann3RConfig, dtype):
+    k1, k2 = jax.random.split(key)
+    return {"fc1": init_linear(k1, cfg.attn_head_in, cfg.attn_head_in, dtype=dtype),
+            "fc2": init_linear(k2, cfg.attn_head_in, cfg.attn_head_out, dtype=dtype)}
+
+
+def attn_head_apply(p, feat_enc: jax.Array, feat_dec: jax.Array) -> jax.Array:
+    """Memory query/key features (ref spann3r/model.py:299-303)."""
+    x = jnp.concatenate([feat_enc, feat_dec.astype(feat_enc.dtype)], axis=-1)
+    return linear(p["fc2"], gelu(linear(p["fc1"], x)))
+
+
+def encode_value(params, cfg: Spann3RConfig, res1_pts: jax.Array,
+                 dec_last: jax.Array, pos: jax.Array,
+                 prec: Precision = BF16, remat: bool = False) -> jax.Array:
+    """Value tokens from the predicted reference pointmap
+    (ref spann3r/model.py:305-320)."""
+    vcfg = value_encoder_cfg(cfg)
+    if cfg.use_feat:
+        x = dec_last.astype(prec.compute_dtype)
+        pos_v = pos
+    else:
+        x, pos_v = patch_embed_apply(params["pos_patch_embed"],
+                                     res1_pts.astype(prec.compute_dtype),
+                                     cfg.dust3r.patch_size)
+    x = encoder_apply(params["value_encoder"], x, pos_v, vcfg, remat=remat)
+    x = layer_norm(params["value_norm"], x, vcfg.ln_eps)
+    return linear(params["value_out"], x)
+
+
+def _memory_norms(params):
+    return {"norm_q": params["norm_q"], "norm_k": params["norm_k"],
+            "norm_v": params["norm_v"]}
+
+
+class PairOutputs(NamedTuple):
+    res1: Dict[str, jax.Array]
+    res2: Dict[str, jax.Array]
+    feat_k1: jax.Array
+    feat_k2: jax.Array
+    cur_v: jax.Array
+
+
+def pair_step(params, cfg: Spann3RConfig, feat_fuse: jax.Array,
+              feat1: jax.Array, feat2: jax.Array, pos: jax.Array,
+              img_hw: Tuple[int, int], prec: Precision = BF16,
+              remat: bool = False) -> PairOutputs:
+    """Decode one (reference, target) frame pair and build memory features.
+
+    feat_fuse: memory-fused reference features (== feat1 on the first pair).
+    Ref: the body of the loop at spann3r/model.py:502-516.
+    """
+    dcfg = cfg.dust3r
+    dec1, dec2 = d3.decoder(params["dust3r"], feat_fuse, pos, feat2, pos,
+                            dcfg, prec, remat=remat)
+    feat_k1 = attn_head_apply(params["attn_head_1"], feat1, dec1[-1])
+    feat_k2 = attn_head_apply(params["attn_head_2"], feat2, dec2[-1])
+    res1 = d3.downstream_head(params["dust3r"], 1, dec1, img_hw, dcfg)
+    res2 = d3.downstream_head(params["dust3r"], 2, dec2, img_hw, dcfg)
+    cur_v = encode_value(params, cfg, res1["pts3d"], dec1[-1], pos, prec, remat)
+    return PairOutputs(res1, res2, feat_k1, feat_k2, cur_v)
+
+
+# ---------------------------------------------------------------------------
+# training forward: lax.scan over the frame sequence
+# ---------------------------------------------------------------------------
+
+def forward_train(params, frames: jax.Array, cfg: Spann3RConfig,
+                  prec: Precision = BF16, rng: Optional[jax.Array] = None,
+                  remat: bool = True) -> Dict[str, jax.Array]:
+    """frames: (B, T, H, W, 3) -> per-pair predictions stacked over time.
+
+    Training memory semantics = unconditional append, attn_thresh=0, dropout
+    active when rng is given (ref spann3r/model.py:473-519, training branch).
+
+    Returns dict of stacked arrays with leading time axis T-1:
+      pts3d_1, conf_1  — reference-frame predictions (frame t  in frame-0 coords)
+      pts3d_2, conf_2  — target-frame predictions   (frame t+1 in frame-0 coords)
+    """
+    b, t, h, w, _ = frames.shape
+    dcfg = cfg.dust3r
+    p_tokens = (h // dcfg.patch_size) * (w // dcfg.patch_size)
+
+    # one batched encoder pass over all frames
+    flat = frames.reshape(b * t, h, w, 3)
+    feats, pos = d3.encode_image(params["dust3r"], flat, dcfg, prec, remat=remat)
+    feats = feats.reshape(b, t, p_tokens, -1).transpose(1, 0, 2, 3)  # (T,B,P,D)
+    pos = pos[:b]
+
+    mem0 = init_memory(b, (t - 1) * p_tokens, cfg.attn_head_out,
+                       dtype=prec.compute_dtype)
+    feat_k2_0 = jnp.zeros((b, p_tokens, cfg.attn_head_out), prec.compute_dtype)
+
+    def body(carry, step):
+        mem, feat_k2_prev = carry
+        i, feat1, feat2 = step
+        if rng is not None:
+            step_rng = jax.random.fold_in(rng, i)
+        else:
+            step_rng = None
+        fused, mem = memory_read(_memory_norms(params), mem, feat_k2_prev,
+                                 attn_thresh=0.0,
+                                 dropout_rng=step_rng,
+                                 dropout_rate=cfg.memory.mem_dropout if rng is not None else 0.0)
+        feat_fuse = jnp.where(i == 0, feat1, fused)
+        out = pair_step(params, cfg, feat_fuse, feat1, feat2, pos, (h, w),
+                        prec, remat=remat)
+        mem = add_mem(mem, out.feat_k1, out.cur_v + out.feat_k1)
+        ys = {"pts3d_1": out.res1["pts3d"], "conf_1": out.res1["conf"],
+              "pts3d_2": out.res2["pts3d"], "conf_2": out.res2["conf"]}
+        return (mem, out.feat_k2), ys
+
+    steps = (jnp.arange(t - 1, dtype=jnp.int32), feats[:-1], feats[1:])
+    (_, _), ys = jax.lax.scan(body, (mem0, feat_k2_0), steps)
+    return ys
+
+
+# ---------------------------------------------------------------------------
+# streaming inference engine
+# ---------------------------------------------------------------------------
+
+class InferenceEngine:
+    """Incremental reconstruction over an arbitrarily long frame stream.
+
+    Host-side loop around jitted, shape-static step functions (compiled once
+    per resolution).  Memory uses the eval semantics: cosine dedup, working
+    -> long-term spill, usage-based pruning (ref spann3r/model.py:520-521).
+    """
+
+    def __init__(self, params, cfg: Spann3RConfig, img_hw: Tuple[int, int],
+                 prec: Precision = BF16, batch: int = 1):
+        self.params = params
+        self.cfg = cfg
+        self.prec = prec
+        self.img_hw = img_hw
+        self.batch = batch
+        dcfg = cfg.dust3r
+        self.p_tokens = (img_hw[0] // dcfg.patch_size) * (img_hw[1] // dcfg.patch_size)
+        self.capacity = cfg.memory.capacity(self.p_tokens)
+
+        self._encode = jax.jit(
+            lambda p, img: d3.encode_image(p["dust3r"], img, dcfg, prec))
+        self._read = jax.jit(
+            lambda p, mem, q: memory_read(_memory_norms(p), mem, q,
+                                          attn_thresh=cfg.memory.attn_thresh))
+        self._pair = jax.jit(
+            lambda p, fuse, f1, f2, pos: pair_step(p, cfg, fuse, f1, f2, pos,
+                                                   img_hw, prec))
+        self._write = jax.jit(
+            lambda mem, k, v: add_mem_check(mem, k, v, cfg.memory))
+        self.reset()
+
+    def reset(self):
+        self.mem = init_memory(self.batch, self.capacity, self.cfg.attn_head_out,
+                               dtype=self.prec.compute_dtype)
+        self._prev = None  # (feat, pos) of previous frame
+        self._feat_k2 = None
+
+    def encode(self, img: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """img: (B, H, W, 3) normalized."""
+        return self._encode(self.params, img)
+
+    def step(self, img: jax.Array) -> Optional[Dict[str, jax.Array]]:
+        """Feed the next frame; returns the prediction pair for
+        (previous, current) frames, or None on the very first frame."""
+        feat2, pos = self.encode(img)
+        if self._prev is None:
+            self._prev = (feat2, pos)
+            return None
+        feat1, pos1 = self._prev
+        if self._feat_k2 is None:
+            feat_fuse = feat1
+        else:
+            feat_fuse, self.mem = self._read(self.params, self.mem, self._feat_k2)
+        out = self._pair(self.params, feat_fuse, feat1, feat2, pos1)
+        self.mem = self._write(self.mem, out.feat_k1, out.cur_v + out.feat_k1)
+        self._prev = (feat2, pos)
+        self._feat_k2 = out.feat_k2
+        return {"res1": out.res1, "res2": out.res2}
+
+    def run(self, frames) -> list:
+        """frames: (T, B, H, W, 3) array or list of (B, H, W, 3).
+
+        Returns the reference-style `preds` list: one dict per frame, all
+        pointmaps in frame-0 coordinates (ref spann3r/model.py:523-534).
+        """
+        self.reset()
+        preds = []
+        last_res2 = None
+        for i in range(len(frames)):
+            out = self.step(jnp.asarray(frames[i]))
+            if out is None:
+                continue
+            res1, res2 = out["res1"], out["res2"]
+            if not preds:
+                preds.append({"pts3d": res1["pts3d"], "conf": res1["conf"]})
+            else:
+                preds.append({"pts3d_in_other_view": res1["pts3d"],
+                              "conf": res1["conf"]})
+            last_res2 = res2
+        if last_res2 is not None:
+            preds.append({"pts3d_in_other_view": last_res2["pts3d"],
+                          "conf": last_res2["conf"]})
+        return preds
