@@ -1,0 +1,208 @@
+"""Sequence regression losses (TPU rebuild of spann3r/loss.py + dust3r/losses.py).
+
+Pure functions over stacked arrays:
+  gts:   {'pts3d': (T,B,H,W,3) world frame, 'valid_mask': (T,B,H,W) bool,
+          'camera_pose': (T,B,4,4) cam2world}
+  preds: {'pts3d_1','conf_1','pts3d_2','conf_2'} each (T-1,B,H,W,...) from
+         models.spann3r.forward_train — all pointmaps already in frame-0
+         coordinates (the reference's get_pred_pts3d 'pts3d_in_other_view'
+         path, dust3r/inference.py:99-102).
+
+Reference quirk preserved: the avg_dis normalizer divides each sample's
+distance-sum by the nnz total summed over the WHOLE batch
+(spann3r/loss.py:51) — gt and pred factors share the quirk so their ratio is
+unaffected, but the absolute factor matches the reference bit-for-bit.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .utils.geometry import geotrf, inv_se3
+from .utils.masked import masked_mean, masked_median, masked_quantile
+
+
+def l21(pred: jax.Array, gt: jax.Array) -> jax.Array:
+    """Per-pixel euclidean distance (ref dust3r/losses.py:52-59)."""
+    return jnp.linalg.norm(pred - gt, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# normalization (ref spann3r/loss.py:22-84)
+# ---------------------------------------------------------------------------
+
+def _avg_dis_factor(pts_list, valid_list, fix_first: bool) -> jax.Array:
+    """norm_factor (B,): per-sample distance sum / batch-total valid count."""
+    n_use = 1 if fix_first else len(pts_list)
+    num = 0.0
+    den = 0.0
+    for pts, valid in zip(pts_list[:n_use], valid_list[:n_use]):
+        b = pts.shape[0]
+        dis = jnp.linalg.norm(pts, axis=-1)            # (B, H, W)
+        m = valid.astype(dis.dtype)
+        num = num + jnp.sum(dis * m, axis=(-2, -1))     # (B,)
+        den = den + jnp.sum(m)                          # scalar (ref quirk)
+    factor = num / (den + 1e-8)
+    return jnp.clip(factor, 1e-8)
+
+
+def normalize_pointcloud_t(pts_l, pts_r, valids, fix_first: bool,
+                           ) -> Tuple[list, list, jax.Array]:
+    """Joint normalization of predictions: factor from pts_l (+ last pts_r)."""
+    factor = _avg_dis_factor(list(pts_l) + [pts_r[-1]], list(valids), fix_first)
+    f = factor[:, None, None, None]
+    return ([p / f for p in pts_l], [p / f for p in pts_r], factor)
+
+
+def normalize_gt_t(gt_pts, valids, fix_first: bool) -> Tuple[list, jax.Array]:
+    factor = _avg_dis_factor(list(gt_pts), list(valids), fix_first)
+    f = factor[:, None, None, None]
+    return [p / f for p in gt_pts], factor
+
+
+# ---------------------------------------------------------------------------
+# Regr3D_t core (ref spann3r/loss.py:129-247)
+# ---------------------------------------------------------------------------
+
+def get_all_pts3d_t(gts: Dict, preds: Dict, norm_mode: bool = True,
+                    gt_scale: bool = False, fix_first: bool = False,
+                    dist_clip: float | None = None,
+                    shift_inv: bool = False, scale_inv: bool = False):
+    """Transform GT into camera-1 frame, collect pred lists, normalize.
+
+    Returns (gt_pts list[T], pr_l list[T-1], pr_r list[T-1], gt_factor,
+    pr_factor, valids list[T]).
+    """
+    t = gts["pts3d"].shape[0]
+    in_cam1 = inv_se3(gts["camera_pose"][0])  # (B,4,4)
+
+    gt_pts = [geotrf(in_cam1, gts["pts3d"][i]) for i in range(t)]
+    valids = [gts["valid_mask"][i] for i in range(t)]
+    if dist_clip is not None:
+        valids = [v & (jnp.linalg.norm(gts["pts3d"][i], axis=-1) <= dist_clip)
+                  for i, v in enumerate(valids)]
+
+    pr_l = [preds["pts3d_1"][i] for i in range(t - 1)]
+    pr_r = [preds["pts3d_2"][i] for i in range(t - 1)]
+
+    gt_factor = pr_factor = None
+    if norm_mode:
+        pr_l, pr_r, pr_factor = normalize_pointcloud_t(pr_l, pr_r, valids, fix_first)
+        if not gt_scale:
+            gt_pts, gt_factor = normalize_gt_t(gt_pts, valids, fix_first)
+
+    if shift_inv:
+        # subtract the joint masked median depth (ref loss.py:294-322)
+        gt_z = jnp.stack([g[..., 2] for g in gt_pts])               # (T,B,H,W)
+        pr_z = jnp.stack([p[..., 2] for p in pr_l] + [pr_r[-1][..., 2]])
+        vm = jnp.stack(valids)
+        gt_shift = _joint_depth_median(gt_z, vm)
+        pr_shift = _joint_depth_median(pr_z, jnp.stack(valids[:t - 1] + [valids[-1]]))
+        gt_pts = [g.at[..., 2].add(-gt_shift[:, None, None]) for g in gt_pts]
+        pr_l = [p.at[..., 2].add(-pr_shift[:, None, None]) for p in pr_l]
+        pr_r = [p.at[..., 2].add(-pr_shift[:, None, None]) for p in pr_r]
+
+    if scale_inv:
+        # median-center / median-norm scale alignment (ref loss.py:325-364)
+        gt_scale_v = _joint_center_scale(gt_pts, valids)
+        pr_scale_v = _joint_center_scale(pr_l + [pr_r[-1]],
+                                         valids[:t - 1] + [valids[-1]])
+        pr_scale_v = jnp.clip(pr_scale_v, 1e-3, 1e3)
+        if gt_scale:
+            r = (gt_scale_v / pr_scale_v)[:, None, None, None]
+            pr_l = [p * r for p in pr_l]
+            pr_r = [p * r for p in pr_r]
+        else:
+            r = (pr_scale_v / gt_scale_v)[:, None, None, None]
+            pr_l = [p * r for p in pr_l]
+            pr_r = [p * r for p in pr_r]
+            g = (gt_scale_v / pr_scale_v)[:, None, None, None]
+            gt_pts = [x * g for x in gt_pts]
+
+    return gt_pts, pr_l, pr_r, gt_factor, pr_factor, valids
+
+
+def _joint_depth_median(zs: jax.Array, valids: jax.Array,
+                        quantile: float = 0.5) -> jax.Array:
+    """zs: (K,B,H,W) -> per-batch masked median over all frames (B,)."""
+    k, b = zs.shape[:2]
+    flat = zs.transpose(1, 0, 2, 3).reshape(b, -1)
+    m = valids.transpose(1, 0, 2, 3).reshape(b, -1)
+    if quantile == 0.5:
+        return masked_median(flat, m, axis=-1)
+    return masked_quantile(flat, m, quantile, axis=-1)
+
+
+def _joint_center_scale(pts_list, valid_list) -> jax.Array:
+    """Masked median norm about the masked median center (B,)."""
+    b = pts_list[0].shape[0]
+    pts = jnp.stack(pts_list).transpose(1, 0, 2, 3, 4).reshape(b, -1, 3)
+    m = jnp.stack(valid_list).transpose(1, 0, 2, 3).reshape(b, -1)
+    center = jnp.stack([masked_median(pts[..., i], m, axis=-1)
+                        for i in range(3)], axis=-1)  # (B,3)
+    norm = jnp.linalg.norm(pts - center[:, None, :], axis=-1)
+    return masked_median(norm, m, axis=-1)
+
+
+def regr3d_t_frame_losses(gts: Dict, preds: Dict, **kw):
+    """Per-frame L21 losses on both branches (ref loss.py:184-247).
+
+    Returns (losses list of (T-1)*2 per-pixel maps, masks, confs,
+    factor_loss, details)."""
+    gt_pts, pr_l, pr_r, gt_factor, pr_factor, valids = get_all_pts3d_t(gts, preds, **kw)
+    t = len(gt_pts)
+
+    losses, masks, confs = [], [], []
+    for i in range(t):
+        if i != t - 1:  # left / reference branch
+            losses.append(l21(pr_l[i], gt_pts[i]))
+            masks.append(valids[i])
+            confs.append(preds["conf_1"][i])
+        if i != 0:      # right / target branch
+            losses.append(l21(pr_r[i - 1], gt_pts[i]))
+            masks.append(valids[i])
+            confs.append(preds["conf_2"][i - 1])
+
+    # scale-overshoot penalty (ref loss.py:229-237, consumed training.py:217)
+    if pr_factor is not None and gt_factor is not None:
+        over = pr_factor > gt_factor
+        diff = jnp.abs(pr_factor - gt_factor)
+        factor_loss = jnp.sum(diff * over) / jnp.clip(jnp.sum(over), 1)
+    else:
+        factor_loss = jnp.zeros(())
+
+    details = {
+        "loss_pts3d_1": masked_mean(losses[0], masks[0]),
+        "loss_pts3d_2": masked_mean(losses[1], masks[1]),
+    }
+    return losses, masks, confs, factor_loss, details
+
+
+def conf_loss_t(gts: Dict, preds: Dict, alpha: float = 0.4, **kw):
+    """Confidence-weighted sequence loss (ref spann3r/loss.py:250-291).
+
+    Returns (scalar loss, details, factor_loss)."""
+    losses, masks, confs, factor_loss, details = regr3d_t_frame_losses(gts, preds, **kw)
+    conf_losses = []
+    conf_sum = 0.0
+    for loss, mask, conf in zip(losses, masks, confs):
+        logc = jnp.log(conf)
+        cl = masked_mean(loss * conf - alpha * logc, mask)
+        conf_losses.append(cl)
+        conf_sum = conf_sum + masked_mean(conf, mask)
+    conf_losses = jnp.stack(conf_losses) * 2.0
+    loss = jnp.mean(conf_losses)
+    details = dict(details, conf_loss_1=conf_losses[0], conf_loss_2=conf_losses[1],
+                   conf_mean=conf_sum / len(losses))
+    return loss, details, factor_loss
+
+
+def regr3d_t_scale_shift_inv(gts: Dict, preds: Dict, gt_scale: bool = True,
+                             norm_mode: bool = False):
+    """Eval alignment criterion (ref Regr3D_t_ScaleShiftInv, eval.py:55).
+
+    Returns the aligned pointmaps + masks for metric computation."""
+    return get_all_pts3d_t(gts, preds, norm_mode=norm_mode, gt_scale=gt_scale,
+                           shift_inv=True, scale_inv=True)

@@ -1,0 +1,42 @@
+"""Masked replacements for torch nan-statistics (nanmedian/nanquantile/nanmean).
+
+JAX has no nan-median over masked subsets with dynamic counts; these use the
+sort-and-index trick with +inf padding so shapes stay static under jit.
+Semantics match torch: nanmedian returns the LOWER middle element
+(index (n-1)//2 of the sorted valid values)."""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def masked_mean(x: jax.Array, mask: jax.Array, axis=None, keepdims=False) -> jax.Array:
+    m = mask.astype(x.dtype)
+    num = jnp.sum(x * m, axis=axis, keepdims=keepdims)
+    den = jnp.sum(m, axis=axis, keepdims=keepdims)
+    return num / jnp.clip(den, 1e-8)
+
+
+def masked_median(x: jax.Array, mask: jax.Array, axis: int = -1) -> jax.Array:
+    """Median of x where mask, along `axis` (torch.nanmedian semantics)."""
+    big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
+    filled = jnp.where(mask, x, big)
+    srt = jnp.sort(filled, axis=axis)
+    n_valid = jnp.sum(mask, axis=axis).astype(jnp.int32)
+    idx = jnp.maximum((n_valid - 1) // 2, 0)
+    return jnp.take_along_axis(srt, jnp.expand_dims(idx, axis), axis=axis).squeeze(axis)
+
+
+def masked_quantile(x: jax.Array, mask: jax.Array, q: float, axis: int = -1) -> jax.Array:
+    """Linear-interpolated quantile of masked values (torch.nanquantile)."""
+    big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
+    filled = jnp.where(mask, x, big)
+    srt = jnp.sort(filled, axis=axis)
+    n_valid = jnp.sum(mask, axis=axis).astype(jnp.float32)
+    pos = q * (n_valid - 1.0)
+    lo = jnp.clip(jnp.floor(pos), 0).astype(jnp.int32)
+    hi = jnp.clip(jnp.ceil(pos), 0).astype(jnp.int32)
+    frac = (pos - lo.astype(jnp.float32)).astype(x.dtype)
+    v_lo = jnp.take_along_axis(srt, jnp.expand_dims(lo, axis), axis=axis).squeeze(axis)
+    v_hi = jnp.take_along_axis(srt, jnp.expand_dims(hi, axis), axis=axis).squeeze(axis)
+    return v_lo + (v_hi - v_lo) * frac

@@ -1,0 +1,147 @@
+"""Loss parity vs reference spann3r/loss.py on random sequences."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from spann3r_tpu import losses as L
+
+from .conftest import requires_reference
+
+T, B, H, W = 4, 2, 8, 12
+
+
+def _random_pose(rng):
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = Rotation.random(random_state=int(rng.integers(1 << 30))).as_matrix()
+    pose[:3, 3] = rng.standard_normal(3)
+    return pose
+
+
+def _make_data(rng):
+    gts = {
+        "pts3d": rng.standard_normal((T, B, H, W, 3)).astype(np.float32) + 2.0,
+        "valid_mask": rng.random((T, B, H, W)) > 0.3,
+        "camera_pose": np.stack([np.stack([_random_pose(rng) for _ in range(B)])
+                                 for _ in range(T)]),
+    }
+    preds = {
+        "pts3d_1": rng.standard_normal((T - 1, B, H, W, 3)).astype(np.float32) + 2.0,
+        "pts3d_2": rng.standard_normal((T - 1, B, H, W, 3)).astype(np.float32) + 2.0,
+        "conf_1": 1.0 + np.exp(rng.standard_normal((T - 1, B, H, W)).astype(np.float32)),
+        "conf_2": 1.0 + np.exp(rng.standard_normal((T - 1, B, H, W)).astype(np.float32)),
+    }
+    return gts, preds
+
+
+def _to_ref(gts, preds):
+    return _to_ref_b(gts, preds)
+
+
+def _to_ref_b(gts, preds):
+    import torch
+
+    ref_gts = [{"pts3d": torch.from_numpy(gts["pts3d"][i]),
+                "valid_mask": torch.from_numpy(gts["valid_mask"][i]),
+                "camera_pose": torch.from_numpy(gts["camera_pose"][i])}
+               for i in range(T)]
+    ref_preds = []
+    for i in range(T - 1):
+        k1 = "pts3d" if i == 0 else "pts3d_in_other_view"
+        r1 = {k1: torch.from_numpy(preds["pts3d_1"][i]),
+              "conf": torch.from_numpy(preds["conf_1"][i])}
+        r2 = {"pts3d_in_other_view": torch.from_numpy(preds["pts3d_2"][i]),
+              "conf": torch.from_numpy(preds["conf_2"][i])}
+        ref_preds.append((r1, r2))
+    return ref_gts, ref_preds
+
+
+@requires_reference
+@pytest.mark.parametrize("fix_first", [False, True])
+def test_conf_loss_parity(rng, fix_first):
+    import torch
+    from dust3r.losses import L21
+    from spann3r.loss import ConfLoss_t, Regr3D_t
+
+    gts, preds = _make_data(rng)
+    ref_gts, ref_preds = _to_ref(gts, preds)
+    crit = ConfLoss_t(Regr3D_t(L21, norm_mode="avg_dis", fix_first=fix_first),
+                      alpha=0.4)
+    with torch.no_grad():
+        ref_loss, ref_details, ref_factor = crit.compute_frame_loss(ref_gts, ref_preds)
+
+    gts_j = {k: jnp.asarray(v) for k, v in gts.items()}
+    preds_j = {k: jnp.asarray(v) for k, v in preds.items()}
+    loss, details, factor = L.conf_loss_t(gts_j, preds_j, alpha=0.4,
+                                          norm_mode=True, fix_first=fix_first)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+
+
+@requires_reference
+def test_factor_loss_parity_b1(rng):
+    """Scale-overshoot penalty: reference broadcasts (K,)-(B,1,1,1) so it is
+    only well-defined at B=1 — compare there."""
+    import torch
+    from dust3r.losses import L21
+    from spann3r.loss import ConfLoss_t, Regr3D_t
+
+    global B
+    old_b, B = B, 1
+    try:
+        gts, preds = _make_data(rng)
+    finally:
+        B = old_b
+    ref_gts, ref_preds = _to_ref_b(gts, preds)
+    crit = ConfLoss_t(Regr3D_t(L21, norm_mode="avg_dis", fix_first=False), alpha=0.4)
+    with torch.no_grad():
+        _, _, ref_factor = crit.compute_frame_loss(ref_gts, ref_preds)
+    gts_j = {k: jnp.asarray(v) for k, v in gts.items()}
+    preds_j = {k: jnp.asarray(v) for k, v in preds.items()}
+    _, _, factor = L.conf_loss_t(gts_j, preds_j, alpha=0.4, norm_mode=True,
+                                 fix_first=False)
+    np.testing.assert_allclose(float(factor), float(ref_factor), rtol=1e-4)
+
+
+@requires_reference
+def test_scale_shift_inv_parity(rng):
+    import torch
+    from dust3r.losses import L21
+    from spann3r.loss import Regr3D_t_ScaleShiftInv
+
+    gts, preds = _make_data(rng)
+    ref_gts, ref_preds = _to_ref(gts, preds)
+    crit = Regr3D_t_ScaleShiftInv(L21, norm_mode=False, gt_scale=True)
+    with torch.no_grad():
+        r_gt, r_pr, _, _, r_masks, _ = crit.get_all_pts3d_t(ref_gts, ref_preds)
+    r_pr_l, r_pr_r = r_pr
+
+    gts_j = {k: jnp.asarray(v) for k, v in gts.items()}
+    preds_j = {k: jnp.asarray(v) for k, v in preds.items()}
+    gt_pts, pr_l, pr_r, _, _, valids = L.regr3d_t_scale_shift_inv(
+        gts_j, preds_j, gt_scale=True, norm_mode=False)
+
+    for i in range(T):
+        np.testing.assert_allclose(np.asarray(gt_pts[i]), r_gt[i].numpy(),
+                                   rtol=1e-4, atol=1e-4)
+    for i in range(T - 1):
+        np.testing.assert_allclose(np.asarray(pr_l[i]), r_pr_l[i].numpy(),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(pr_r[i]), r_pr_r[i].numpy(),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_masked_stats_match_torch_nan(rng):
+    import torch
+
+    x = rng.standard_normal((3, 50)).astype(np.float32)
+    mask = rng.random((3, 50)) > 0.4
+    xt = torch.from_numpy(np.where(mask, x, np.nan))
+
+    from spann3r_tpu.utils.masked import masked_median, masked_quantile
+    med = masked_median(jnp.asarray(x), jnp.asarray(mask), axis=-1)
+    np.testing.assert_allclose(np.asarray(med),
+                               torch.nanmedian(xt, dim=-1).values.numpy(), rtol=1e-6)
+    q = masked_quantile(jnp.asarray(x), jnp.asarray(mask), 0.3, axis=-1)
+    np.testing.assert_allclose(np.asarray(q),
+                               torch.nanquantile(xt, 0.3, dim=-1).numpy(),
+                               rtol=1e-5, atol=1e-6)
