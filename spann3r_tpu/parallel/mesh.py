@@ -1,0 +1,74 @@
+"""Device mesh + sharding helpers.
+
+The reference scales with DDP over NCCL (spann3r/training.py:322-325,
+croco/utils/misc.py:222-259).  TPU-native equivalent: a jax.sharding.Mesh
+with a 'data' axis (and an optional 'model' axis for tensor-parallel weight
+sharding of the large MLP/attention matrices), batch-sharded inputs, and XLA
+emitting the gradient all-reduces over ICI.
+
+Multi-host: call `init_distributed()` once per process; samplers shard by
+`jax.process_index()` exactly like the reference's rank slicing.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed() -> None:
+    """Initialize JAX's multi-host runtime when launched across hosts."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+            int(os.environ.get("JAX_NUM_PROCESSES", "1")) > 1:
+        jax.distributed.initialize()
+
+
+def make_mesh(data: Optional[int] = None, model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """('data', 'model') mesh; model=1 gives pure data parallelism."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, f"{data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the batch axis of (T, B, ...) arrays over 'data'."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_sharding(mesh: Mesh, params):
+    """Shard large 2-D+ weights over the 'model' axis (last dim), replicate
+    the rest.  With model=1 this is full replication (pure DP)."""
+    model_n = mesh.shape["model"]
+
+    def spec(x):
+        if model_n > 1 and x.ndim >= 2 and x.shape[-1] % model_n == 0 \
+                and x.shape[-1] >= 1024:
+            return NamedSharding(mesh, P(*([None] * (x.ndim - 1) + ["model"])))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec, params)
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a host batch with the data axis sharded."""
+    sh = batch_sharding(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim >= 2:
+            return jax.device_put(x, sh)
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree.map(put, batch)

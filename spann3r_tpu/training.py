@@ -1,0 +1,365 @@
+"""Training loop (TPU rebuild of spann3r/training.py + croco/utils/misc.py).
+
+One jitted train step over a ('data','model') mesh: forward_train scan ->
+conf_loss_t -> grads -> optax AdamW(0.9, 0.95) with decay/no-decay masking,
+global-norm clip 1.0 and per-iteration warmup+half-cosine LR.  The gradient
+all-reduce is emitted by XLA from the batch sharding (the reference's DDP).
+
+Schedules kept from the reference:
+  - per-iter LR: linear warmup then half-cosine to min_lr (misc.py:464-479)
+  - frame-spacing curriculum: active_ratio ramps 0->1, decays to 0.5 after
+    75% of training (training.py:191-196)
+  - alpha coarse-to-fine: ConfLoss alpha 0.4 -> 0.2 linearly over the second
+    half (training.py:410-412)
+Checkpointing via orbax: last/best/periodic + auto-resume (training.py:377-405).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import functools
+import json
+import math
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from . import losses
+from .config import BF16, Precision, Spann3RConfig
+from .datasets import build_dataset, make_sampler
+from .datasets.loader import DataLoader
+from .models import spann3r as sp
+from .parallel import mesh as pmesh
+
+
+# ---------------------------------------------------------------------------
+# args
+# ---------------------------------------------------------------------------
+
+def get_args_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("Spann3R-TPU training", add_help=False)
+    p.add_argument("--dust3r_ckpt", default=None,
+                   help="path to DUSt3R .pth to warm-start from")
+    p.add_argument("--pretrained", default=None,
+                   help="path of a starting spann3r checkpoint (.pth or orbax)")
+    p.add_argument("--resolution", default=224, type=int)
+    p.add_argument("--num_frames", default=5, type=int)
+    p.add_argument("--head_type", default="dpt", choices=["dpt", "linear"])
+    p.add_argument("--train_criterion_alpha", default=0.4, type=float)
+    p.add_argument("--train_dataset", default=None, type=str,
+                   help="dataset-algebra expression (see datasets/__init__.py)")
+    p.add_argument("--test_dataset", default=None, type=str)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--batch_size", default=2, type=int,
+                   help="per-host batch size")
+    p.add_argument("--batch_size_test", default=1, type=int)
+    p.add_argument("--accum_iter", default=1, type=int)
+    p.add_argument("--epochs", default=120, type=int)
+    p.add_argument("--weight_decay", default=0.05, type=float)
+    p.add_argument("--lr", default=5e-5, type=float)
+    p.add_argument("--blr", default=1.5e-4, type=float)
+    p.add_argument("--min_lr", default=1e-6, type=float)
+    p.add_argument("--warmup_epochs", default=10, type=int)
+    p.add_argument("--alpha_c2f", default=1, type=int)
+    p.add_argument("--num_workers", default=2, type=int)
+    p.add_argument("--eval_freq", default=1, type=int)
+    p.add_argument("--save_freq", default=1, type=int)
+    p.add_argument("--keep_freq", default=10, type=int)
+    p.add_argument("--print_freq", default=20, type=int)
+    p.add_argument("--output_dir", default="./output/train", type=str)
+    p.add_argument("--model_axis", default=1, type=int,
+                   help="tensor-parallel axis size of the device mesh")
+    p.add_argument("--bf16", default=1, type=int)
+    p.add_argument("--remat", default=1, type=int)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# schedules (ref croco/utils/misc.py:464-479, spann3r/training.py:191-196)
+# ---------------------------------------------------------------------------
+
+def lr_at(epoch_f: float, lr: float, min_lr: float, warmup_epochs: float,
+          epochs: float) -> float:
+    if epoch_f < warmup_epochs:
+        return lr * epoch_f / max(warmup_epochs, 1e-8)
+    t = (epoch_f - warmup_epochs) / max(epochs - warmup_epochs, 1e-8)
+    return min_lr + (lr - min_lr) * 0.5 * (1.0 + math.cos(math.pi * t))
+
+
+def active_ratio_at(epoch: int, epochs: int) -> float:
+    r = epoch / epochs
+    if r < 0.75:
+        return min(1.0, r * 2.0)
+    return max(0.5, 1.0 - (r - 0.75) / 0.25)
+
+
+def alpha_at(epoch: int, epochs: int, alpha_init: float = 0.4,
+             c2f: bool = True) -> float:
+    if not c2f:
+        return alpha_init
+    return alpha_init - 0.2 * max((epoch - 0.5 * epochs) / (0.5 * epochs), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# optimizer
+# ---------------------------------------------------------------------------
+
+def decay_mask(params):
+    """Weight decay only on >=2-D weights (ref misc.py:420-426: no decay for
+    1-D params and biases)."""
+    return jax.tree.map(lambda x: x.ndim > 1, params)
+
+
+def make_optimizer(weight_decay: float) -> optax.GradientTransformation:
+    """AdamW(0.9, 0.95) + global-norm clip 1.0; LR injected per step."""
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.scale_by_adam(b1=0.9, b2=0.95),
+        optax.add_decayed_weights(weight_decay, mask=decay_mask),
+        # note: the per-step -lr factor is applied inside train_step
+    )
+
+
+def make_train_step(cfg: Spann3RConfig, prec: Precision, opt, remat: bool = True,
+                    fix_first: bool = False):
+    """Returns jitted train_step(params, opt_state, batch, rng, lr, alpha)."""
+
+    def loss_fn(params, batch, rng, alpha):
+        frames = jnp.transpose(batch["img"], (1, 0, 2, 3, 4))  # (B,T,H,W,3)
+        preds = sp.forward_train(params, frames, cfg, prec, rng=rng,
+                                 remat=remat)
+        gts = {"pts3d": batch["pts3d"],
+               "valid_mask": batch["valid_mask"],
+               "camera_pose": batch["camera_pose"]}
+        loss, details, factor_loss = losses.conf_loss_t(
+            gts, preds, alpha=alpha, norm_mode=True, fix_first=fix_first)
+        total = loss + factor_loss  # (ref training.py:217-218)
+        return total, details
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch, rng, lr, alpha):
+        (loss, details), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, rng, alpha)
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)  # lr injection
+        params = optax.apply_updates(params, updates)
+        metrics = dict(details, loss=loss, grad_norm=gnorm)
+        return params, opt_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: Spann3RConfig, prec: Precision, alpha: float = 0.4):
+    @jax.jit
+    def eval_step(params, batch):
+        frames = jnp.transpose(batch["img"], (1, 0, 2, 3, 4))
+        preds = sp.forward_train(params, frames, cfg, prec, rng=None,
+                                 remat=False)
+        gts = {"pts3d": batch["pts3d"],
+               "valid_mask": batch["valid_mask"],
+               "camera_pose": batch["camera_pose"]}
+        loss, details, _ = losses.conf_loss_t(gts, preds, alpha=alpha,
+                                              norm_mode=True)
+        return loss, details
+
+    return eval_step
+
+
+# ---------------------------------------------------------------------------
+# checkpointing (orbax)
+# ---------------------------------------------------------------------------
+
+class CheckpointManager:
+    """last/best/periodic checkpoints + auto-resume (ref training.py:377-405,
+    croco misc.save_model/load_model)."""
+
+    def __init__(self, output_dir: str):
+        import orbax.checkpoint as ocp
+        self.dir = os.path.abspath(os.path.join(output_dir, "checkpoints"))
+        os.makedirs(self.dir, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.dir, f"checkpoint-{name}")
+
+    def save(self, name: str, params, opt_state, epoch: int, best: float):
+        import orbax.checkpoint as ocp
+        state = {"params": params, "opt_state": opt_state,
+                 "epoch": np.array(epoch, np.int32), "best": np.array(best, np.float32)}
+        path = self._path(name)
+        self._ckptr.save(path, state, force=True)
+        self._ckptr.wait_until_finished()
+
+    def restore(self, name: str, template) -> Optional[Dict[str, Any]]:
+        path = self._path(name)
+        if not os.path.exists(path):
+            return None
+        return self._ckptr.restore(path, template)
+
+    def has(self, name: str) -> bool:
+        return os.path.exists(self._path(name))
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def train(args) -> None:
+    pmesh.init_distributed()
+    rank = jax.process_index()
+    world = jax.process_count()
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    prec = BF16 if args.bf16 else Precision(compute_dtype=jnp.float32)
+    from .config import DUSt3RConfig, ViTConfig
+    cfg = Spann3RConfig(dust3r=DUSt3RConfig(
+        img_size=(args.resolution, args.resolution),
+        head_type=args.head_type))
+
+    mesh = pmesh.make_mesh(model=args.model_axis)
+    print(f"mesh: {mesh}; process {rank}/{world}")
+
+    # datasets
+    train_ds = build_dataset(args.train_dataset)
+    test_dss = {}
+    if args.test_dataset:
+        for expr in args.test_dataset.split("+"):
+            test_dss[expr.strip().split("(")[0]] = build_dataset(expr)
+
+    sampler = make_sampler(train_ds, args.batch_size, world_size=world, rank=rank)
+    loader = DataLoader(train_ds, args.batch_size, sampler=sampler,
+                        num_workers=args.num_workers)
+
+    # model init / warm start
+    key = jax.random.PRNGKey(args.seed)
+    params = sp.init_spann3r(key, cfg)
+    if args.dust3r_ckpt:
+        from .utils.torch_ckpt import load_dust3r_checkpoint
+        params["dust3r"] = load_dust3r_checkpoint(args.dust3r_ckpt, cfg.dust3r)
+        # the pointmap patch-embed starts as a copy of the image patch-embed
+        # (ref spann3r/model.py:240-242)
+        if "pos_patch_embed" in params:
+            params["pos_patch_embed"] = jax.tree.map(
+                lambda x: x, params["dust3r"]["patch_embed"])
+    if args.pretrained and args.pretrained.endswith(".pth"):
+        from .utils.torch_ckpt import load_spann3r_checkpoint
+        params = load_spann3r_checkpoint(args.pretrained, cfg)
+
+    opt = make_optimizer(args.weight_decay)
+    opt_state = opt.init(params)
+
+    ckpt = CheckpointManager(args.output_dir)
+    start_epoch, best_so_far = 0, float("inf")
+    restored = ckpt.restore("last", {"params": params, "opt_state": opt_state,
+                                     "epoch": np.array(0, np.int32),
+                                     "best": np.array(np.inf, np.float32)})
+    if restored is not None:
+        params = restored["params"]
+        opt_state = restored["opt_state"]
+        start_epoch = int(restored["epoch"]) + 1
+        best_so_far = float(restored["best"])
+        print(f"auto-resumed from epoch {start_epoch}")
+
+    eff_batch = args.batch_size * args.accum_iter * world
+    if args.lr is None:
+        args.lr = args.blr * eff_batch / 256
+
+    train_step = make_train_step(cfg, prec, opt, remat=bool(args.remat))
+    eval_step = make_eval_step(cfg, prec)
+
+    writer = None
+    if rank == 0:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            writer = SummaryWriter(log_dir=args.output_dir)
+        except ImportError:
+            pass
+
+    log_path = os.path.join(args.output_dir, "log.txt")
+    rng = jax.random.PRNGKey(args.seed + rank)
+
+    steps_per_epoch = max(len(loader), 1)
+    t0 = time.time()
+    for epoch in range(start_epoch, args.epochs + 1):
+        # ---- eval + checkpointing cadence (ref training.py:377-405) ----
+        test_stats = {}
+        if epoch > 0 and args.eval_freq > 0 and epoch % args.eval_freq == 0:
+            for name, tds in test_dss.items():
+                test_stats[name] = test_one_epoch(eval_step, params, tds,
+                                                  args.batch_size_test)
+                med = test_stats[name].get("loss_med", float("inf"))
+                if med < best_so_far:
+                    best_so_far = med
+                    if rank == 0:
+                        ckpt.save("best", params, opt_state, epoch - 1,
+                                  best_so_far)
+        if rank == 0 and epoch > start_epoch:
+            if args.save_freq and (epoch % args.save_freq == 0
+                                   or epoch == args.epochs):
+                ckpt.save("last", params, opt_state, epoch - 1, best_so_far)
+            if args.keep_freq and epoch % args.keep_freq == 0:
+                ckpt.save(str(epoch), params, opt_state, epoch - 1, best_so_far)
+
+        if rank == 0:
+            stats = {f"test_{k}_{k2}": float(v2) for k, v in test_stats.items()
+                     for k2, v2 in v.items()}
+            with open(log_path, "a") as f:
+                f.write(json.dumps(dict(epoch=epoch, **stats)) + "\n")
+
+        if epoch >= args.epochs:
+            break
+
+        # ---- curriculum ----
+        alpha = alpha_at(epoch, args.epochs, args.train_criterion_alpha,
+                         bool(args.alpha_c2f))
+        active_ratio = active_ratio_at(epoch, args.epochs)
+        train_ds.set_epoch(epoch)
+        train_ds.set_ratio(active_ratio)
+        sampler.set_epoch(epoch)
+
+        # ---- one epoch ----
+        for it, batch in enumerate(loader):
+            epoch_f = epoch + it / steps_per_epoch
+            lr = lr_at(epoch_f, args.lr, args.min_lr, args.warmup_epochs,
+                       args.epochs)
+            rng, step_rng = jax.random.split(rng)
+            sharded = pmesh.shard_batch(mesh, batch)
+            params, opt_state, metrics = train_step(
+                params, opt_state, sharded, step_rng,
+                jnp.float32(lr), jnp.float32(alpha))
+
+            if it % args.print_freq == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                if not math.isfinite(m["loss"]):
+                    raise RuntimeError(f"non-finite loss at {epoch_f}: {m}")
+                print(f"E{epoch} it{it}/{steps_per_epoch} "
+                      f"loss={m['loss']:.4f} lr={lr:.2e} "
+                      f"gnorm={m['grad_norm']:.2f} ar={active_ratio:.2f} "
+                      f"alpha={alpha:.2f}")
+                if writer is not None:
+                    step1000 = int(epoch_f * 1000)
+                    writer.add_scalar("train_loss", m["loss"], step1000)
+                    writer.add_scalar("train_lr", lr, step1000)
+                    writer.add_scalar("active_ratio", active_ratio, step1000)
+
+    print(f"Training done in {time.time() - t0:.0f}s")
+
+
+def test_one_epoch(eval_step, params, dataset, batch_size: int) -> Dict[str, float]:
+    """Seeded held-out eval tracking mean + median loss
+    (ref training.py:94-168)."""
+    loader = DataLoader(dataset, batch_size, num_workers=1)
+    losses_all = []
+    for batch in loader:
+        loss, _ = eval_step(params, batch)
+        losses_all.append(float(loss))
+    if not losses_all:
+        return {}
+    return {"loss_avg": float(np.mean(losses_all)),
+            "loss_med": float(np.median(losses_all))}
