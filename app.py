@@ -1,0 +1,86 @@
+"""Web demo: video -> incremental reconstruction -> GLB (ref app.py).
+
+Uses gradio when installed; otherwise exposes `reconstruct()` for
+programmatic use and a plain HTTP fallback is intentionally out of scope.
+"""
+import argparse
+import os
+import os.path as osp
+import subprocess
+import tempfile
+
+
+def extract_frames(video_path: str, fps: int = 1) -> str:
+    """ffmpeg video -> frames dir (ref app.py:26-36)."""
+    temp_dir = tempfile.mkdtemp()
+    output_path = osp.join(temp_dir, "%03d.jpg")
+    subprocess.run(["ffmpeg", "-i", video_path, "-vf", f"fps={fps}",
+                    output_path], check=True, capture_output=True)
+    return temp_dir
+
+
+def reconstruct(video_path: str, conf_thresh: float = 1e-3, kf_every: int = 1,
+                ckpt_path: str = "./checkpoints/spann3r.pth",
+                resolution: int = 224, out_dir: str = "./output/app"):
+    """video -> conf-masked colored pointcloud GLB (ref app.py:110-171)."""
+    import numpy as np
+    from spann3r_tpu.datasets import Demo
+    from spann3r_tpu.datasets.loader import collate_views
+    from spann3r_tpu.models import spann3r as sp
+    from spann3r_tpu.utils.export import write_glb_pointcloud
+
+    import demo as demo_cli
+    args = demo_cli.get_args_parser().parse_args([])
+    args.ckpt_path = ckpt_path
+    args.resolution = resolution
+    params, cfg, prec = demo_cli.load_model(args)
+
+    frames_dir = extract_frames(video_path)
+    dataset = Demo(ROOT=frames_dir, resolution=resolution, full_video=True,
+                   kf_every=kf_every)
+    batch = collate_views([dataset[0]])
+    engine = sp.InferenceEngine(params, cfg, batch["img"].shape[2:4], prec)
+    preds = engine.run(batch["img"])
+
+    pts, cols = [], []
+    for j, pr in enumerate(preds):
+        key = "pts3d" if j == 0 else "pts3d_in_other_view"
+        p = np.asarray(pr[key], np.float32)[0]
+        c = np.asarray(pr["conf"], np.float32)[0]
+        keep = (c - 1.0) / c > conf_thresh
+        pts.append(p[keep])
+        cols.append(((batch["img"][j, 0] + 1.0) / 2.0)[keep])
+    os.makedirs(out_dir, exist_ok=True)
+    glb_path = osp.join(out_dir, "recon.glb")
+    write_glb_pointcloud(glb_path, np.concatenate(pts), np.concatenate(cols))
+    return glb_path
+
+
+def launch_ui():
+    try:
+        import gradio as gr
+    except ImportError:
+        raise SystemExit("gradio is not installed in this environment; use "
+                         "`python app.py --video <path>` or call "
+                         "app.reconstruct() directly")
+
+    demo_ui = gr.Interface(
+        fn=lambda video, conf, kf: reconstruct(video, conf, int(kf)),
+        inputs=[gr.Video(), gr.Slider(0, 0.1, value=1e-3, label="conf"),
+                gr.Slider(1, 30, value=1, step=1, label="keyframe every")],
+        outputs=gr.Model3D(),
+        title="Spann3R-TPU: streaming 3D reconstruction")
+    demo_ui.launch()
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--video", type=str, default=None,
+                    help="run headless on a video file instead of the UI")
+    ap.add_argument("--conf_thresh", type=float, default=1e-3)
+    ap.add_argument("--kf_every", type=int, default=1)
+    a = ap.parse_args()
+    if a.video:
+        print(reconstruct(a.video, a.conf_thresh, a.kf_every))
+    else:
+        launch_ui()

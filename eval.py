@@ -1,0 +1,194 @@
+"""Spann3R-TPU benchmark evaluation: 7-Scenes / NRGBD / DTU chamfer
+accuracy/completion + normal consistency (ref eval.py protocol:
+kf_every 20/40/5, median-shift + GT-scale alignment, ICP refinement,
+masked metrics)."""
+import argparse
+import os
+import os.path as osp
+import time
+
+import numpy as np
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("Spann3R-TPU evaluation", add_help=False)
+    p.add_argument("--exp_path", type=str, default="./checkpoints")
+    p.add_argument("--exp_name", type=str, default="ckpt_best")
+    p.add_argument("--ckpt", type=str, default="spann3r.pth")
+    p.add_argument("--data_root", type=str, default="./data")
+    p.add_argument("--datasets", type=str, default="7scenes,NRGBD,DTU")
+    p.add_argument("--scenegraph_type", type=str, default="complete")
+    p.add_argument("--offline", action="store_true")
+    p.add_argument("--resolution", type=int, default=224)
+    p.add_argument("--conf_thresh", type=float, default=0.0)
+    p.add_argument("--fp32", action="store_true")
+    return p
+
+
+def build_eval_datasets(args):
+    from spann3r_tpu.datasets import DTU, NRGBD, SevenScenes
+
+    root = args.data_root
+    out = {}
+    wanted = args.datasets.split(",")
+    if "7scenes" in wanted:
+        out["7scenes"] = SevenScenes(split="test", ROOT=osp.join(root, "7scenes"),
+                                     resolution=args.resolution, num_seq=1,
+                                     full_video=True, kf_every=20)
+    if "NRGBD" in wanted:
+        out["NRGBD"] = NRGBD(split="test", ROOT=osp.join(root, "neural_rgbd"),
+                             resolution=args.resolution, num_seq=1,
+                             full_video=True, kf_every=40)
+    if "DTU" in wanted:
+        out["DTU"] = DTU(split="test", ROOT=osp.join(root, "dtu_test"),
+                         resolution=args.resolution, num_seq=1,
+                         full_video=True, kf_every=5)
+    return out
+
+
+def evaluate_scene(params, cfg, prec, batch, args):
+    """Run reconstruction + alignment for one scene; returns aligned
+    pred/gt clouds, masks, colors, fps."""
+    import jax.numpy as jnp
+    from spann3r_tpu import losses as L
+    from spann3r_tpu.models import spann3r as sp
+    from spann3r_tpu.utils.geometry import geotrf
+
+    hw = batch["img"].shape[2:4]
+    t0 = time.time()
+    if args.offline:
+        from spann3r_tpu.models.offline import offline_reconstruction
+        preds, preds_all, idx_used = offline_reconstruction(
+            params, batch["img"][:, 0], cfg, hw,
+            scene_graph=args.scenegraph_type, prec=prec)
+        order = idx_used
+    else:
+        engine = sp.InferenceEngine(params, cfg, hw, prec)
+        preds = engine.run(batch["img"])
+        order = list(range(batch["img"].shape[0]))
+    elapsed = time.time() - t0
+    fps = batch["img"].shape[0] / max(elapsed, 1e-9)
+
+    # stack predictions as (T-1,...) pairs for the alignment criterion
+    t = len(preds)
+    key = lambda j: "pts3d" if j == 0 else "pts3d_in_other_view"
+    pts_seq = np.stack([np.asarray(preds[j][key(j)], np.float32)[0]
+                        for j in range(t)])
+    conf_seq = np.stack([np.asarray(preds[j]["conf"], np.float32)[0]
+                         for j in range(t)])
+
+    ordered = {k: batch[k][order] for k in
+               ("pts3d", "valid_mask", "camera_pose", "img")}
+    gts = {"pts3d": jnp.asarray(ordered["pts3d"]),
+           "valid_mask": jnp.asarray(ordered["valid_mask"]),
+           "camera_pose": jnp.asarray(ordered["camera_pose"])}
+    # preds_(1/2) layout expected by the criterion: left list = frames
+    # 0..T-2, right list = frames 1..T-1 (ref loss.py:137-180)
+    preds_j = {"pts3d_1": jnp.asarray(pts_seq[:-1, None]),
+               "pts3d_2": jnp.asarray(pts_seq[1:, None]),
+               "conf_1": jnp.asarray(conf_seq[:-1, None]),
+               "conf_2": jnp.asarray(conf_seq[1:, None])}
+
+    gt_pts, pr_l, pr_r, _, _, valids = L.regr3d_t_scale_shift_inv(
+        gts, preds_j, gt_scale=True, norm_mode=False)
+
+    # re-anchor into the world frame (ref eval.py:139-156): add back the GT
+    # median depth shift and transform by camera_pose[0]
+    gt_z = jnp.stack([g[..., 2] for g in gt_pts])
+    vm = jnp.stack(valids)
+    from spann3r_tpu.losses import _joint_depth_median
+    gt_shift = _joint_depth_median(gt_z, vm)
+    in_cam1 = jnp.asarray(ordered["camera_pose"][0])
+
+    pts_aligned, gt_aligned = [], []
+    for j in range(t):
+        p = pr_l[j] if j < t - 1 else pr_r[-1]
+        p = p.at[..., 2].add(gt_shift[:, None, None])
+        g = gt_pts[j].at[..., 2].add(gt_shift[:, None, None])
+        pts_aligned.append(np.asarray(geotrf(in_cam1, p))[0])
+        gt_aligned.append(np.asarray(geotrf(in_cam1, g))[0])
+
+    masks = ordered["valid_mask"][:, 0]
+    colors = (ordered["img"][:, 0] + 1.0) / 2.0
+    return (np.stack(pts_aligned), np.stack(gt_aligned), masks, colors, fps,
+            preds, order)
+
+
+def main(args):
+    import jax
+    from spann3r_tpu.config import (BF16, FP32, DUSt3RConfig, Spann3RConfig)
+    from spann3r_tpu.models import spann3r as sp
+    from spann3r_tpu.tools.eval_recon import accuracy, completion
+    from spann3r_tpu.tools.icp import estimate_normals, registration_icp
+    from spann3r_tpu.utils.export import write_ply
+    from spann3r_tpu.datasets.loader import collate_views
+    from spann3r_tpu.utils.torch_ckpt import load_spann3r_checkpoint
+
+    ckpt_path = osp.join(args.exp_path, args.ckpt)
+    exp_path = osp.join(args.exp_path, args.exp_name)
+    os.makedirs(exp_path, exist_ok=True)
+
+    cfg = Spann3RConfig(dust3r=DUSt3RConfig(
+        img_size=(args.resolution, args.resolution), head_type="dpt"))
+    prec = FP32 if args.fp32 else BF16
+    if osp.exists(ckpt_path):
+        params = load_spann3r_checkpoint(ckpt_path, cfg)
+    else:
+        print(f"WARNING: {ckpt_path} missing; random init (smoke test)")
+        params = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
+
+    for name, dataset in build_eval_datasets(args).items():
+        save_path = osp.join(exp_path, name + ("_offline" if args.offline else ""))
+        os.makedirs(save_path, exist_ok=True)
+        log_file = osp.join(save_path, "logs.txt")
+        sums = np.zeros(8)
+        fps_all = []
+
+        for i in range(len(dataset)):
+            views = dataset[i]
+            batch = collate_views([views])
+            print(f"Started reconstruction for {name} {i + 1}/{len(dataset)}")
+            pts, gts, masks, colors, fps, _, _ = evaluate_scene(
+                params, cfg, prec, batch, args)
+            fps_all.append(fps)
+            print(f"Finished {name} {i + 1}/{len(dataset)}, FPS: {fps:.2f}")
+
+            m = masks > 0
+            pts_m, gts_m, col_m = pts[m], gts[m], colors[m]
+            scene_id = views[0]["label"].rsplit("/", 1)[0].replace("/", "_")
+            write_ply(osp.join(save_path, f"{scene_id}-mask.ply"), pts_m, col_m)
+            write_ply(osp.join(save_path, f"{scene_id}-gt.ply"), gts_m, col_m)
+
+            threshold = 100 if name == "DTU" else 0.1
+            trans = registration_icp(pts_m.reshape(-1, 3),
+                                     gts_m.reshape(-1, 3), threshold)
+            pts_icp = pts_m.reshape(-1, 3) @ trans[:3, :3].T + trans[:3, 3]
+
+            nrm_p = estimate_normals(pts_icp)
+            nrm_g = estimate_normals(gts_m.reshape(-1, 3))
+            acc, acc_med, nc1, nc1_med = accuracy(gts_m.reshape(-1, 3),
+                                                  pts_icp, nrm_g, nrm_p)
+            comp, comp_med, nc2, nc2_med = completion(gts_m.reshape(-1, 3),
+                                                      pts_icp, nrm_g, nrm_p)
+            sums += np.array([acc, comp, nc1, nc2,
+                              acc_med, comp_med, nc1_med, nc2_med])
+            with open(log_file, "a") as f:
+                f.write(f"Idx: {scene_id}, Acc: {acc}, Comp: {comp}, "
+                        f"NC1: {nc1}, NC2: {nc2} - Acc_med: {acc_med}, "
+                        f"Comp_med: {comp_med}, NC1_med: {nc1_med}, "
+                        f"NC2_med: {nc2_med}\n")
+
+        n = len(dataset)
+        with open(log_file, "a") as f:
+            f.write(f"Dataset: {name}, Accuracy: {sums[0] / n}, "
+                    f"Completion: {sums[1] / n}, NC1: {sums[2] / n}, "
+                    f"NC2: {sums[3] / n} - Acc_med: {sums[4] / n}, "
+                    f"Comp_med: {sums[5] / n}, NC1_med: {sums[6] / n}, "
+                    f"NC2_med: {sums[7] / n}\n")
+            f.write(f"Average fps: {np.mean(fps_all)}\n")
+        print(f"{name}: acc={sums[0] / n:.4f} comp={sums[1] / n:.4f} "
+              f"fps={np.mean(fps_all):.2f}")
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())

@@ -1,0 +1,153 @@
+"""Offline reconstruction: pairwise conf scan + greedy next-best-view.
+
+TPU re-design of the reference offline mode (spann3r/model.py:333-471 +
+dust3r/inference.py:62-78):
+  - all frames encoded ONCE in a batched pass (the reference re-encodes
+    inside every pairwise forward)
+  - the O(N^2) pairwise confidence matrix comes from batched two-view
+    decodes over pair chunks
+  - the greedy loop decodes ALL candidate frames per step in one batched
+    decoder call with static shapes (the reference loops per candidate) and
+    picks the argmax mean sigmoid-confidence
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import BF16, Precision, Spann3RConfig
+from . import dust3r as d3
+from .memory import add_mem_check, init_memory, memory_read
+from .pairs import make_pairs
+from .spann3r import _memory_norms, pair_step
+
+
+def _conf_sig_mean(conf: jax.Array) -> jax.Array:
+    """mean of (conf-1)/conf over pixels (ref spann3r/model.py:346-349)."""
+    sig = (conf - 1.0) / conf
+    return jnp.mean(sig, axis=(-2, -1))
+
+
+def pairwise_confidences(params, feats, pos, pairs, img_hw, cfg: Spann3RConfig,
+                         prec: Precision = BF16, chunk: int = 8) -> np.ndarray:
+    """Decode pair chunks, return summed sigmoid-conf per pair (N_pairs,)."""
+    dcfg = cfg.dust3r
+
+    @jax.jit
+    def decode_chunk(f1, f2):
+        b, p, _ = f1.shape
+        pp = jnp.broadcast_to(pos[:1], (b, p, 2))
+        dec1, dec2 = d3.decoder(params, f1, pp, f2, pp, dcfg, prec)
+        r1 = d3.downstream_head(params, 1, dec1, img_hw, dcfg)
+        r2 = d3.downstream_head(params, 2, dec2, img_hw, dcfg)
+        return _conf_sig_mean(r1["conf"]) + _conf_sig_mean(r2["conf"])
+
+    confs = np.zeros(len(pairs), dtype=np.float32)
+    idx = 0
+    while idx < len(pairs):
+        batch = pairs[idx:idx + chunk]
+        if len(batch) < chunk:  # pad to the compiled chunk size
+            batch = batch + [batch[-1]] * (chunk - len(batch))
+        f1 = jnp.stack([feats[a] for a, _ in batch])
+        f2 = jnp.stack([feats[b] for _, b in batch])
+        out = np.asarray(decode_chunk(f1, f2))
+        take = min(chunk, len(pairs) - idx)
+        confs[idx:idx + take] = out[:take]
+        idx += take
+    return confs
+
+
+def find_initial_pair(pairs, confs, n_frames: int) -> Tuple[int, int]:
+    """argmax of the pairwise conf matrix (ref spann3r/model.py:333-357)."""
+    mat = np.zeros((n_frames, n_frames), dtype=np.float32)
+    for (a, b), c in zip(pairs, confs):
+        mat[a, b] = c
+    return tuple(int(v) for v in np.unravel_index(mat.argmax(), mat.shape))
+
+
+def offline_reconstruction(params, frames: np.ndarray, cfg: Spann3RConfig,
+                           img_hw, scene_graph: str = "complete",
+                           prec: Precision = BF16
+                           ) -> Tuple[List[Dict], List[Tuple], List[int]]:
+    """frames: (N, H, W, 3) normalized -> (preds, preds_all, idx_used).
+
+    Follows the reference control flow (spann3r/model.py:394-471) with
+    batched candidate scoring.
+    """
+    dcfg = cfg.dust3r
+    n = frames.shape[0]
+    p_tokens = (img_hw[0] // dcfg.patch_size) * (img_hw[1] // dcfg.patch_size)
+
+    # 1. batched encode of every frame, once
+    feats, pos_all = d3.encode_image(params["dust3r"], jnp.asarray(frames),
+                                     dcfg, prec)
+    pos = pos_all[:1]
+    feats_list = [feats[i:i + 1] for i in range(n)]
+
+    # 2. pairwise confidence matrix -> initial pair
+    pairs = make_pairs(n, scene_graph, symmetrize=True)
+    confs = pairwise_confidences(params["dust3r"],
+                                 {i: feats[i] for i in range(n)},
+                                 pos_all, pairs, img_hw, cfg, prec)
+    i0, i1 = find_initial_pair(pairs, confs, n)
+
+    # jitted single-pair step (shared with the online engine)
+    @jax.jit
+    def _pair(feat_fuse, f1, f2):
+        return pair_step(params, cfg, feat_fuse, f1, f2, pos, img_hw, prec)
+
+    # batched candidate scorer: decode every frame against the fused ref
+    @jax.jit
+    def _score_all(feat_fuse, all_feats):
+        ff = jnp.broadcast_to(feat_fuse, (n, p_tokens, feat_fuse.shape[-1]))
+        pp = jnp.broadcast_to(pos, (n, p_tokens, 2))
+        dec1, dec2 = d3.decoder(params["dust3r"], ff, pp, all_feats, pp,
+                                dcfg, prec)
+        r1 = d3.downstream_head(params["dust3r"], 1, dec1, img_hw, dcfg)
+        r2 = d3.downstream_head(params["dust3r"], 2, dec2, img_hw, dcfg)
+        return _conf_sig_mean(r1["conf"]) + _conf_sig_mean(r2["conf"])
+
+    mem = init_memory(1, cfg.memory.capacity(p_tokens), cfg.attn_head_out,
+                      dtype=prec.compute_dtype)
+    read = jax.jit(lambda m, q: memory_read(_memory_norms(params), m, q,
+                                            attn_thresh=cfg.memory.attn_thresh))
+    write = jax.jit(lambda m, k, v: add_mem_check(m, k, v, cfg.memory))
+
+    idx_used = [i0, i1]
+    idx_todo = [i for i in range(n) if i not in idx_used]
+
+    out = _pair(feats_list[i0], feats_list[i0], feats_list[i1])
+    preds, preds_all = [], []
+
+    def push(out, first: bool):
+        r1 = {"conf": out.res1["conf"]}
+        r1["pts3d" if first else "pts3d_in_other_view"] = out.res1["pts3d"]
+        r2 = {"pts3d_in_other_view": out.res2["pts3d"], "conf": out.res2["conf"]}
+        preds.append(r1)
+        preds_all.append((r1, r2))
+        return r2
+
+    cur = out
+    first = True
+    cur_feat2_idx = i1
+    while True:
+        mem = write(mem, cur.feat_k1, cur.cur_v + cur.feat_k1)
+        last_r2 = push(cur, first)
+        first = False
+        if not idx_todo:
+            break
+        fused, mem = read(mem, cur.feat_k2)
+        scores = np.asarray(_score_all(fused[0], feats))
+        mask = np.full(n, -np.inf, dtype=np.float32)
+        mask[idx_todo] = 0.0
+        best = int(np.argmax(scores + mask))
+        idx_todo.remove(best)
+        idx_used.append(best)
+        cur = _pair(fused, feats_list[cur_feat2_idx], feats_list[best])
+        cur_feat2_idx = best
+
+    preds.append(last_r2)
+    return preds, preds_all, idx_used

@@ -1,0 +1,136 @@
+"""Artifact export: PLY point clouds, Nerfstudio transforms.json, GLB.
+
+Pure-python writers (no open3d/trimesh dependency).  Contracts from
+reference demo.py:43-72,199-253 and app.py:150-171.
+"""
+from __future__ import annotations
+
+import json
+import struct
+from typing import List, Optional
+
+import numpy as np
+
+
+def write_ply(path: str, points: np.ndarray,
+              colors: Optional[np.ndarray] = None) -> None:
+    """Binary little-endian PLY with optional uint8 colors in [0,1] float."""
+    pts = np.asarray(points, dtype=np.float32).reshape(-1, 3)
+    n = len(pts)
+    has_color = colors is not None
+    header = ["ply", "format binary_little_endian 1.0",
+              f"element vertex {n}",
+              "property float x", "property float y", "property float z"]
+    if has_color:
+        header += ["property uchar red", "property uchar green",
+                   "property uchar blue"]
+    header += ["end_header"]
+
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode("ascii"))
+        if has_color:
+            cols = np.asarray(colors).reshape(-1, 3)
+            if cols.dtype != np.uint8:
+                cols = (np.clip(cols, 0, 1) * 255).astype(np.uint8)
+            rec = np.zeros(n, dtype=[("xyz", np.float32, 3),
+                                     ("rgb", np.uint8, 3)])
+            rec["xyz"] = pts
+            rec["rgb"] = cols
+            f.write(rec.tobytes())
+        else:
+            f.write(pts.tobytes())
+
+
+def read_ply(path: str):
+    """Minimal reader for the PLYs this module writes (tests/tools)."""
+    with open(path, "rb") as f:
+        header = []
+        while True:
+            line = f.readline().decode("ascii").strip()
+            header.append(line)
+            if line == "end_header":
+                break
+        n = int(next(l for l in header if l.startswith("element vertex")
+                     ).split()[-1])
+        has_color = any("uchar red" in l for l in header)
+        if has_color:
+            rec = np.frombuffer(f.read(n * 15), dtype=[("xyz", np.float32, 3),
+                                                       ("rgb", np.uint8, 3)])
+            return rec["xyz"].copy(), rec["rgb"].copy()
+        pts = np.frombuffer(f.read(n * 12), dtype=np.float32).reshape(n, 3)
+        return pts.copy(), None
+
+
+def transforms_json(h: int, w: int, focal: float, poses: List[np.ndarray],
+                    ply_file_path: str, ori_paths: Optional[List[str]] = None
+                    ) -> dict:
+    """Nerfstudio transforms dict (ref demo.py:43-72); converts CV->GL."""
+    d = {"w": w, "h": h, "fl_x": float(focal), "fl_y": float(focal),
+         "cx": w / 2, "cy": h / 2, "k1": 0, "k2": 0, "p1": 0, "p2": 0,
+         "camera_model": "OPENCV"}
+    frames = []
+    for i, pose in enumerate(poses):
+        pose = np.asarray(pose).copy()
+        pose[:3, 1] *= -1
+        pose[:3, 2] *= -1
+        frames.append({
+            "file_path": (f"imgs/img_{i:04d}.png" if ori_paths is None
+                          else ori_paths[i]),
+            "transform_matrix": pose.tolist()})
+    d["frames"] = frames
+    d["ply_file_path"] = ply_file_path
+    return d
+
+
+def write_glb_pointcloud(path: str, points: np.ndarray,
+                         colors: Optional[np.ndarray] = None) -> None:
+    """Minimal GLB (glTF 2.0 binary) with a POINTS-mode mesh.
+
+    Standalone replacement for the trimesh export in the reference app
+    (app.py:150-171)."""
+    pts = np.asarray(points, dtype=np.float32).reshape(-1, 3)
+    n = len(pts)
+    buffers = [pts.tobytes()]
+    accessors = [{
+        "bufferView": 0, "componentType": 5126, "count": n, "type": "VEC3",
+        "min": pts.min(axis=0).tolist(), "max": pts.max(axis=0).tolist()}]
+    views = [{"buffer": 0, "byteOffset": 0, "byteLength": len(buffers[0])}]
+    attributes = {"POSITION": 0}
+
+    if colors is not None:
+        cols = np.asarray(colors).reshape(-1, 3)
+        if cols.dtype == np.uint8:
+            cols = cols.astype(np.float32) / 255.0
+        cols = np.clip(cols, 0, 1).astype(np.float32)
+        off = sum(len(b) for b in buffers)
+        buffers.append(cols.tobytes())
+        views.append({"buffer": 0, "byteOffset": off,
+                      "byteLength": len(buffers[-1])})
+        accessors.append({"bufferView": 1, "componentType": 5126, "count": n,
+                          "type": "VEC3"})
+        attributes["COLOR_0"] = 1
+
+    bin_blob = b"".join(buffers)
+    pad = (-len(bin_blob)) % 4
+    bin_blob += b"\x00" * pad
+
+    gltf = {
+        "asset": {"version": "2.0", "generator": "spann3r_tpu"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{"attributes": attributes, "mode": 0}]}],
+        "buffers": [{"byteLength": len(bin_blob)}],
+        "bufferViews": views,
+        "accessors": accessors,
+    }
+    json_blob = json.dumps(gltf).encode("utf-8")
+    json_blob += b" " * ((-len(json_blob)) % 4)
+
+    total = 12 + 8 + len(json_blob) + 8 + len(bin_blob)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<III", 0x46546C67, 2, total))
+        f.write(struct.pack("<II", len(json_blob), 0x4E4F534A))
+        f.write(json_blob)
+        f.write(struct.pack("<II", len(bin_blob), 0x004E4942))
+        f.write(bin_blob)

@@ -1,0 +1,31 @@
+"""Camera pose recovery from pointmaps via PnP-RANSAC
+(ref demo.py:169-185)."""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def pose_from_pointmap(pts3d: np.ndarray, intrinsic: np.ndarray
+                       ) -> Optional[np.ndarray]:
+    """pts3d: (H, W, 3) pointmap in a global frame -> cam2world 4x4.
+
+    Solves PnP-RANSAC between the dense pixel grid and the regressed 3D
+    points, then inverts the extrinsic."""
+    import cv2
+
+    h, w, _ = pts3d.shape
+    u, v = np.meshgrid(np.arange(w), np.arange(h))
+    points_2d = np.stack((u, v), axis=-1).reshape(-1, 2).astype(np.float32)
+    points_3d = pts3d.reshape(-1, 3).astype(np.float32)
+    dist = np.zeros(4, dtype=np.float32)
+    ok, rvec, tvec, _ = cv2.solvePnPRansac(points_3d, points_2d,
+                                           intrinsic.astype(np.float32), dist)
+    if not ok:
+        return None
+    rmat, _ = cv2.Rodrigues(rvec)
+    extrinsic = np.eye(4)
+    extrinsic[:3, :3] = rmat
+    extrinsic[:3, 3] = tvec.reshape(-1)
+    return np.linalg.inv(extrinsic)
