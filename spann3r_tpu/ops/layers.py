@@ -56,13 +56,15 @@ def mlp(p, x: jax.Array) -> jax.Array:
 
 def conv2d(p, x: jax.Array, stride: int = 1, padding="SAME") -> jax.Array:
     """NHWC conv with HWIO kernel."""
+    # no preferred_element_type here: its transpose rule rejects mixed
+    # bf16/f32 cotangents, and the TPU MXU accumulates bf16 convs in fp32
+    # at the hardware level regardless
     y = jax.lax.conv_general_dilated(
         x, p["w"].astype(x.dtype),
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if p.get("b") is not None:
         y = y + p["b"].astype(x.dtype)
     return y
@@ -76,8 +78,7 @@ def conv2d_transpose(p, x: jax.Array, stride: int) -> jax.Array:
         strides=(stride, stride),
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if p.get("b") is not None:
         y = y + p["b"].astype(x.dtype)
     return y
