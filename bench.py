@@ -42,19 +42,23 @@ def main():
     engine = sp.InferenceEngine(params, cfg, hw, BF16)
 
     rng = np.random.default_rng(0)
-    frames = rng.standard_normal(
-        (args.frames, 1, *hw, 3)).astype(np.float32) * 0.5
+    frames = rng.integers(0, 256, (args.frames, 1, *hw, 3)).astype(np.uint8)
 
-    # warmup: compile encode/read/pair/write paths and fill the memory
+    # warmup: compile the fused step variants and fill the memory
     for i in range(args.warmup):
-        engine.step(jnp.asarray(frames[i % len(frames)]))
-    jax.block_until_ready(engine.mem.k)
+        engine.step(engine.put_frame(frames[i % len(frames)]))
+    np.asarray(engine.mem.size)  # full sync through the tunnel
+    engine.reset()
 
     t0 = time.perf_counter()
     out = None
+    pending = engine.put_frame(frames[0])
     for i in range(args.frames):
-        out = engine.step(jnp.asarray(frames[i]))
-    jax.block_until_ready(out["res1"]["pts3d"])
+        cur = pending
+        if i + 1 < args.frames:
+            pending = engine.put_frame(frames[i + 1])  # overlap transfer
+        out = engine.step(cur)
+    np.asarray(out["res1"]["pts3d"][0, 0, 0])  # force completion
     elapsed = time.perf_counter() - t0
 
     fps = args.frames / elapsed

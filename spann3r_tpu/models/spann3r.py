@@ -185,9 +185,15 @@ def forward_train(params, frames: jax.Array, cfg: Spann3RConfig,
 class InferenceEngine:
     """Incremental reconstruction over an arbitrarily long frame stream.
 
-    Host-side loop around jitted, shape-static step functions (compiled once
-    per resolution).  Memory uses the eval semantics: cosine dedup, working
-    -> long-term spill, usage-based pruning (ref spann3r/model.py:520-521).
+    Host-side loop around ONE fused jitted step (compiled once per
+    resolution): encode -> memory read -> dual decode -> heads -> value
+    encode -> memory write, with the 30+MB memory bank donated in place.
+    Memory uses the eval semantics: cosine dedup, working -> long-term
+    spill, usage-based pruning (ref spann3r/model.py:520-521).
+
+    Frames can be fed as normalized float (dataset pipeline) or raw uint8
+    (`raw=True`) with on-device normalization — 4x less host->device
+    traffic, which matters when the chip sits behind a network tunnel.
     """
 
     def __init__(self, params, cfg: Spann3RConfig, img_hw: Tuple[int, int],
@@ -201,8 +207,29 @@ class InferenceEngine:
         self.p_tokens = (img_hw[0] // dcfg.patch_size) * (img_hw[1] // dcfg.patch_size)
         self.capacity = cfg.memory.capacity(self.p_tokens)
 
+        def _prep(img):
+            if img.dtype == jnp.uint8:
+                img = img.astype(prec.compute_dtype) * (2.0 / 255.0) - 1.0
+            return img
+
         self._encode = jax.jit(
-            lambda p, img: d3.encode_image(p["dust3r"], img, dcfg, prec))
+            lambda p, img: d3.encode_image(p["dust3r"], _prep(img), dcfg, prec))
+
+        def fused(p, mem, feat1, feat_k2, img2, first):
+            feat2, pos = d3.encode_image(p["dust3r"], _prep(img2), dcfg, prec)
+            if first:
+                feat_fuse = feat1
+            else:
+                feat_fuse, mem = memory_read(_memory_norms(p), mem, feat_k2,
+                                             attn_thresh=cfg.memory.attn_thresh)
+            out = pair_step(p, cfg, feat_fuse, feat1, feat2, pos, img_hw, prec)
+            mem = add_mem_check(mem, out.feat_k1, out.cur_v + out.feat_k1,
+                                cfg.memory)
+            return mem, feat2, out
+
+        self._fused = jax.jit(fused, static_argnames=("first",),
+                              donate_argnums=(1,))
+        # kept for offline mode / tests that drive the pieces directly
         self._read = jax.jit(
             lambda p, mem, q: memory_read(_memory_norms(p), mem, q,
                                           attn_thresh=cfg.memory.attn_thresh))
@@ -216,28 +243,29 @@ class InferenceEngine:
     def reset(self):
         self.mem = init_memory(self.batch, self.capacity, self.cfg.attn_head_out,
                                dtype=self.prec.compute_dtype)
-        self._prev = None  # (feat, pos) of previous frame
+        self._feat_prev = None
         self._feat_k2 = None
 
     def encode(self, img: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        """img: (B, H, W, 3) normalized."""
+        """img: (B, H, W, 3) normalized (or uint8)."""
         return self._encode(self.params, img)
+
+    def put_frame(self, frame) -> jax.Array:
+        """Start an async host->device transfer of one frame."""
+        return jax.device_put(frame)
 
     def step(self, img: jax.Array) -> Optional[Dict[str, jax.Array]]:
         """Feed the next frame; returns the prediction pair for
         (previous, current) frames, or None on the very first frame."""
-        feat2, pos = self.encode(img)
-        if self._prev is None:
-            self._prev = (feat2, pos)
+        if self._feat_prev is None:
+            self._feat_prev, _ = self.encode(img)
             return None
-        feat1, pos1 = self._prev
-        if self._feat_k2 is None:
-            feat_fuse = feat1
-        else:
-            feat_fuse, self.mem = self._read(self.params, self.mem, self._feat_k2)
-        out = self._pair(self.params, feat_fuse, feat1, feat2, pos1)
-        self.mem = self._write(self.mem, out.feat_k1, out.cur_v + out.feat_k1)
-        self._prev = (feat2, pos)
+        first = self._feat_k2 is None
+        feat_k2 = (jnp.zeros((self.batch, self.p_tokens, self.cfg.attn_head_out),
+                             self.prec.compute_dtype)
+                   if first else self._feat_k2)
+        self.mem, self._feat_prev, out = self._fused(
+            self.params, self.mem, self._feat_prev, feat_k2, img, first)
         self._feat_k2 = out.feat_k2
         return {"res1": out.res1, "res2": out.res2}
 
@@ -250,8 +278,11 @@ class InferenceEngine:
         self.reset()
         preds = []
         last_res2 = None
+        pending = self.put_frame(frames[0])
         for i in range(len(frames)):
-            out = self.step(jnp.asarray(frames[i]))
+            cur, pending = pending, (self.put_frame(frames[i + 1])
+                                     if i + 1 < len(frames) else None)
+            out = self.step(cur)
             if out is None:
                 continue
             res1, res2 = out["res1"], out["res2"]
