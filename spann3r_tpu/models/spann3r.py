@@ -179,6 +179,84 @@ def forward_train(params, frames: jax.Array, cfg: Spann3RConfig,
 
 
 # ---------------------------------------------------------------------------
+# chunked on-device video scan (eval memory semantics)
+# ---------------------------------------------------------------------------
+
+def scan_video_chunk(params, cfg: Spann3RConfig, carry, imgs: jax.Array,
+                     frame_valid: jax.Array, img_hw: Tuple[int, int],
+                     prec: Precision = BF16):
+    """Process `chunk` frames in ONE device program via lax.scan.
+
+    carry: (mem, feat_prev, feat_k2, res2_prev, have_prev, have_key)
+    imgs: (chunk, B, H, W, 3) uint8 or normalized float
+    frame_valid: (chunk,) bool — False for padding frames (no-ops)
+
+    Emits per-frame res1 (the reference-frame prediction of pair
+    (t-1, t)) in bf16; the running res2 lives in the carry so the caller
+    only fetches it once at the end (ref preds contract,
+    spann3r/model.py:523-534).
+    """
+    dcfg = cfg.dust3r
+    odt = jnp.bfloat16 if prec.compute_dtype == jnp.bfloat16 else jnp.float32
+
+    def prep(img):
+        if img.dtype == jnp.uint8:
+            return img.astype(prec.compute_dtype) * (2.0 / 255.0) - 1.0
+        return img.astype(prec.compute_dtype)
+
+    def body(carry, step):
+        mem, feat_prev, feat_k2, res2_prev, have_prev, have_key = carry
+        img, valid = step
+        feat2, pos = d3.encode_image(params["dust3r"], prep(img), dcfg, prec)
+        fused, mem_read = memory_read(_memory_norms(params), mem, feat_k2,
+                                      attn_thresh=cfg.memory.attn_thresh)
+        feat_fuse = jnp.where(have_key, fused, feat_prev)
+        mem = jax.tree.map(lambda a, b: jnp.where(valid & have_key, a, b),
+                           mem_read, mem)
+        out = pair_step(params, cfg, feat_fuse, feat_prev, feat2, pos,
+                        img_hw, prec)
+        written = add_mem_check(mem, out.feat_k1, out.cur_v + out.feat_k1,
+                                cfg.memory)
+        do_write = valid & have_prev
+        mem = jax.tree.map(lambda a, b: jnp.where(do_write, a, b), written, mem)
+
+        res2 = {"pts3d": out.res2["pts3d"].astype(odt),
+                "conf": out.res2["conf"].astype(odt)}
+        res2_prev = jax.tree.map(lambda a, b: jnp.where(do_write, a, b),
+                                 res2, res2_prev)
+        new_carry = (
+            mem,
+            jnp.where(valid, feat2, feat_prev),
+            jnp.where(valid & have_prev, out.feat_k2, feat_k2),
+            res2_prev,
+            have_prev | valid,
+            have_key | (valid & have_prev),
+        )
+        ys = {"pts3d": out.res1["pts3d"].astype(odt),
+              "conf": out.res1["conf"].astype(odt),
+              "emitted": do_write}
+        return new_carry, ys
+
+    return jax.lax.scan(body, carry, (imgs, frame_valid))
+
+
+def init_video_carry(cfg: Spann3RConfig, img_hw: Tuple[int, int],
+                     batch: int = 1, prec: Precision = BF16):
+    dcfg = cfg.dust3r
+    p_tokens = (img_hw[0] // dcfg.patch_size) * (img_hw[1] // dcfg.patch_size)
+    capacity = cfg.memory.capacity(p_tokens)
+    mem = init_memory(batch, capacity, cfg.attn_head_out,
+                      dtype=prec.compute_dtype)
+    feat0 = jnp.zeros((batch, p_tokens, dcfg.enc.dim), prec.compute_dtype)
+    key0 = jnp.zeros((batch, p_tokens, cfg.attn_head_out), prec.compute_dtype)
+    odt = jnp.bfloat16 if prec.compute_dtype == jnp.bfloat16 else jnp.float32
+    res2_0 = {"pts3d": jnp.zeros((batch, *img_hw, 3), odt),
+              "conf": jnp.zeros((batch, *img_hw), odt)}
+    return (mem, feat0, key0, res2_0,
+            jnp.zeros((), bool), jnp.zeros((), bool))
+
+
+# ---------------------------------------------------------------------------
 # streaming inference engine
 # ---------------------------------------------------------------------------
 
@@ -295,4 +373,51 @@ class InferenceEngine:
         if last_res2 is not None:
             preds.append({"pts3d_in_other_view": last_res2["pts3d"],
                           "conf": last_res2["conf"]})
+        return preds
+
+    def run_video(self, frames, chunk: int = 16) -> list:
+        """Chunked on-device scan over a whole video — same output contract
+        as run(), far fewer host<->device round trips (critical when the
+        chip is reached through a network tunnel: every dispatch round-trips
+        its outputs, so the memory state must stay inside the program).
+
+        frames: (T, B, H, W, 3) float (normalized) or uint8.
+        """
+        import numpy as np
+
+        if not hasattr(self, "_scan_chunk") or self._chunk != chunk:
+            self._chunk = chunk
+            self._scan_chunk = jax.jit(
+                lambda p, carry, imgs, valid: scan_video_chunk(
+                    p, self.cfg, carry, imgs, valid, self.img_hw, self.prec),
+                donate_argnums=(1,))
+
+        t = len(frames)
+        carry = init_video_carry(self.cfg, self.img_hw, self.batch, self.prec)
+        res1_chunks = []
+        for s in range(0, t, chunk):
+            part = np.asarray(frames[s:s + chunk])
+            valid = np.ones(len(part), bool)
+            if len(part) < chunk:  # pad the tail chunk
+                pad = chunk - len(part)
+                part = np.concatenate([part, np.repeat(part[-1:], pad, 0)])
+                valid = np.concatenate([valid, np.zeros(pad, bool)])
+            carry, ys = self._scan_chunk(self.params, carry,
+                                         jnp.asarray(part), jnp.asarray(valid))
+            res1_chunks.append(jax.tree.map(np.asarray, ys))
+
+        ys = {k: np.concatenate([c[k] for c in res1_chunks])
+              for k in res1_chunks[0]}
+        emitted = ys["emitted"]
+        preds = []
+        for i in range(len(emitted)):
+            if not emitted[i]:
+                continue
+            key = "pts3d" if not preds else "pts3d_in_other_view"
+            preds.append({key: np.asarray(ys["pts3d"][i], np.float32),
+                          "conf": np.asarray(ys["conf"][i], np.float32)})
+        res2 = carry[3]
+        preds.append({"pts3d_in_other_view":
+                      np.asarray(res2["pts3d"], np.float32),
+                      "conf": np.asarray(res2["conf"], np.float32)})
         return preds

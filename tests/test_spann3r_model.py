@@ -110,6 +110,28 @@ def test_inference_engine_parity(rng, ref_and_params):
 
 
 @requires_reference
+@pytest.mark.parametrize("chunk", [2, 8])
+def test_run_video_scan_parity(rng, ref_and_params, chunk):
+    """Chunked on-device scan == reference online forward (incl. a chunk
+    size that splits the video mid-sequence and tail padding)."""
+    ref, params, cfg = ref_and_params
+    frames = _frames(rng)
+    ref_preds, _ = _ref_forward(ref, frames, training=False)
+
+    engine = sp.InferenceEngine(params, cfg, HW, FP32)
+    preds = engine.run_video(frames, chunk=chunk)
+
+    assert len(preds) == len(ref_preds) == T
+    np.testing.assert_allclose(np.asarray(preds[0]["pts3d"]),
+                               ref_preds[0]["pts3d"].numpy(),
+                               rtol=5e-3, atol=5e-3)
+    for t in range(1, T):
+        np.testing.assert_allclose(
+            np.asarray(preds[t]["pts3d_in_other_view"]),
+            ref_preds[t]["pts3d_in_other_view"].numpy(), rtol=5e-3, atol=5e-3)
+
+
+@requires_reference
 def test_forward_train_parity(rng, ref_and_params):
     ref, params, cfg = ref_and_params
     frames = _frames(rng)
