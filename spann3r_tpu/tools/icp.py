@@ -35,9 +35,20 @@ def registration_icp(src_points: np.ndarray, dst_points: np.ndarray,
                      max_points: int = 200_000) -> np.ndarray:
     """ICP aligning src -> dst; returns the 4x4 transformation.
 
-    Subsamples very large clouds for the correspondence search (the
-    transform is still applied to everything by the caller)."""
+    Uses the native C++ runtime (spann3r_tpu/native) when built, falling
+    back to this scipy implementation.  Subsamples very large clouds for the
+    correspondence search (the transform is still applied to everything by
+    the caller)."""
     rng = np.random.default_rng(0)
+    from .. import native
+    if native.available():
+        src = np.asarray(src_points, dtype=np.float32).reshape(-1, 3)
+        dst = np.asarray(dst_points, dtype=np.float32).reshape(-1, 3)
+        if len(src) > max_points:
+            src = src[rng.choice(len(src), max_points, replace=False)]
+        if len(dst) > max_points:
+            dst = dst[rng.choice(len(dst), max_points, replace=False)]
+        return native.icp_p2p(src, dst, threshold, init, max_iterations)
     src = np.asarray(src_points, dtype=np.float64)
     dst = np.asarray(dst_points, dtype=np.float64)
     if len(src) > max_points:
@@ -69,6 +80,9 @@ def estimate_normals(points: np.ndarray, k: int = 30,
     """Per-point normals from local PCA over k nearest neighbours
     (open3d estimate_normals equivalent; orientation is arbitrary, which is
     fine — the metrics take |dot| (ref eval_recon.py:19-21))."""
+    from .. import native
+    if native.available():
+        return native.estimate_normals(points, k)
     pts = np.asarray(points, dtype=np.float64)
     tree = KDTree(pts)
     k = min(k, len(pts))
