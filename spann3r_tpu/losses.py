@@ -206,3 +206,98 @@ def regr3d_t_scale_shift_inv(gts: Dict, preds: Dict, gt_scale: bool = True,
     Returns the aligned pointmaps + masks for metric computation."""
     return get_all_pts3d_t(gts, preds, norm_mode=norm_mode, gt_scale=gt_scale,
                            shift_inv=True, scale_inv=True)
+
+
+# ---------------------------------------------------------------------------
+# two-view (pairwise DUSt3R-style) losses — ref dust3r/losses.py:140-236
+# ---------------------------------------------------------------------------
+
+def _normalize_pair(pts1, pts2, valid1, valid2):
+    """avg_dis joint normalization of a two-view pair
+    (ref dust3r/utils/geometry.py:246-304).  Per-sample denominator here
+    (the two-view reference divides per sample, unlike the sequence loss)."""
+    d1 = jnp.linalg.norm(pts1, axis=-1) * valid1
+    d2 = jnp.linalg.norm(pts2, axis=-1) * valid2
+    nnz = (jnp.sum(valid1, axis=(-2, -1)) + jnp.sum(valid2, axis=(-2, -1)))
+    factor = (jnp.sum(d1, axis=(-2, -1)) + jnp.sum(d2, axis=(-2, -1))) \
+        / (nnz + 1e-8)
+    factor = jnp.clip(factor, 1e-8)[:, None, None, None]
+    return pts1 / factor, pts2 / factor
+
+
+def regr3d_pair(gt1: Dict, gt2: Dict, pred1: Dict, pred2: Dict,
+                norm_mode: bool = True, gt_scale: bool = False):
+    """Two-view Regr3D (ref dust3r/losses.py:156-192): per-pixel L21 on both
+    views in camera-1 coordinates.  Returns (l1, l2, mask1, mask2)."""
+    in_cam1 = inv_se3(gt1["camera_pose"])
+    gt_pts1 = geotrf(in_cam1, gt1["pts3d"])
+    gt_pts2 = geotrf(in_cam1, gt2["pts3d"])
+    v1 = gt1["valid_mask"]
+    v2 = gt2["valid_mask"]
+    pr1 = pred1["pts3d"]
+    pr2 = pred2["pts3d_in_other_view"]
+    if norm_mode:
+        pr1, pr2 = _normalize_pair(pr1, pr2, v1, v2)
+        if not gt_scale:
+            gt_pts1, gt_pts2 = _normalize_pair(gt_pts1, gt_pts2, v1, v2)
+    return l21(pr1, gt_pts1), l21(pr2, gt_pts2), v1, v2
+
+
+def conf_loss_pair(gt1, gt2, pred1, pred2, alpha: float = 0.2, **kw):
+    """Two-view ConfLoss (ref dust3r/losses.py:195-236)."""
+    l1, l2, m1, m2 = regr3d_pair(gt1, gt2, pred1, pred2, **kw)
+    c1, c2 = pred1["conf"], pred2["conf"]
+    cl1 = masked_mean(l1 * c1 - alpha * jnp.log(c1), m1)
+    cl2 = masked_mean(l2 * c2 - alpha * jnp.log(c2), m2)
+    return cl1 + cl2, {"conf_loss_1": cl1, "conf_loss2": cl2}
+
+
+def find_opt_scaling(gt_pts1, gt_pts2, pr_pts1, pr_pts2=None,
+                     fit_mode: str = "weiszfeld_stop_grad",
+                     valid1=None, valid2=None) -> jax.Array:
+    """Optimal gt->pred scale via mean / median / Weiszfeld IRLS
+    (ref dust3r/inference.py:112-156)."""
+    def flat(p, v):
+        b = p.shape[0]
+        pf = p.reshape(b, -1, 3)
+        vf = (v.reshape(b, -1) if v is not None
+              else jnp.ones(pf.shape[:2], bool))
+        return pf, vf
+
+    g1, m1 = flat(gt_pts1, valid1)
+    p1, _ = flat(pr_pts1, valid1)
+    if gt_pts2 is not None:
+        g2, m2 = flat(gt_pts2, valid2)
+        p2, _ = flat(pr_pts2, valid2)
+        gt = jnp.concatenate([g1, g2], axis=1)
+        pr = jnp.concatenate([p1, p2], axis=1)
+        m = jnp.concatenate([m1, m2], axis=1)
+    else:
+        gt, pr, m = g1, p1, m1
+
+    dot_gp = jnp.sum(pr * gt, axis=-1)
+    dot_gg = jnp.sum(jnp.square(gt), axis=-1)
+
+    if fit_mode.startswith("avg"):
+        scaling = masked_mean(dot_gp, m, axis=1) / \
+            jnp.clip(masked_mean(dot_gg, m, axis=1), 1e-12)
+    elif fit_mode.startswith("median"):
+        scaling = masked_median(jnp.where(m, dot_gp / jnp.clip(dot_gg, 1e-12),
+                                          0.0), m, axis=-1)
+    elif fit_mode.startswith("weiszfeld"):
+        scaling = masked_mean(dot_gp, m, axis=1) / \
+            jnp.clip(masked_mean(dot_gg, m, axis=1), 1e-12)
+
+        def body(_, s):
+            dis = jnp.linalg.norm(pr - s[:, None, None] * gt, axis=-1)
+            w = 1.0 / jnp.clip(dis, 1e-8)
+            return masked_mean(w * dot_gp, m, axis=1) / \
+                jnp.clip(masked_mean(w * dot_gg, m, axis=1), 1e-12)
+
+        scaling = jax.lax.fori_loop(0, 10, body, scaling)
+    else:
+        raise ValueError(f"bad fit_mode {fit_mode}")
+
+    if fit_mode.endswith("stop_grad"):
+        scaling = jax.lax.stop_gradient(scaling)
+    return jnp.clip(scaling, 1e-3)

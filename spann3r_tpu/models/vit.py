@@ -126,6 +126,34 @@ def dual_decoder_apply(stacked1, stacked2, f1: jax.Array, f2: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# sincos positional embedding (ref croco/models/pos_embed.py:22-69)
+# ---------------------------------------------------------------------------
+
+def get_1d_sincos_pos_embed(embed_dim: int, pos) -> jnp.ndarray:
+    import numpy as np
+    assert embed_dim % 2 == 0
+    omega = np.arange(embed_dim // 2, dtype=float) / (embed_dim / 2.0)
+    omega = 1.0 / 10000 ** omega
+    out = np.einsum("m,d->md", np.asarray(pos).reshape(-1), omega)
+    return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+
+def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int,
+                            n_cls_token: int = 0) -> jnp.ndarray:
+    """(grid²[+cls], D) cosine table for non-RoPE CroCo variants."""
+    import numpy as np
+    grid_h = np.arange(grid_size, dtype=np.float32)
+    grid_w = np.arange(grid_size, dtype=np.float32)
+    grid = np.stack(np.meshgrid(grid_w, grid_h), axis=0)  # w first (ref)
+    emb_h = get_1d_sincos_pos_embed(embed_dim // 2, grid[0])
+    emb_w = get_1d_sincos_pos_embed(embed_dim // 2, grid[1])
+    emb = np.concatenate([emb_h, emb_w], axis=1)
+    if n_cls_token > 0:
+        emb = np.concatenate([np.zeros([n_cls_token, embed_dim]), emb], axis=0)
+    return jnp.asarray(emb, jnp.float32)
+
+
+# ---------------------------------------------------------------------------
 # patch embedding
 # ---------------------------------------------------------------------------
 
