@@ -38,6 +38,16 @@ def make_mesh(data: Optional[int] = None, model: int = 1,
     return Mesh(arr, ("data", "model"))
 
 
+def make_mesh_for_batch(batch_size: int, model: int = 1,
+                        devices: Optional[Sequence] = None) -> Mesh:
+    """Mesh whose 'data' axis divides batch_size (uses a device subset when
+    the per-host batch is smaller than the device count)."""
+    devices = list(devices if devices is not None else jax.devices())
+    avail = len(devices) // model
+    data = max(d for d in range(1, avail + 1) if batch_size % d == 0)
+    return make_mesh(data=data, model=model, devices=devices[:data * model])
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the batch axis of (T, B, ...) arrays over 'data'."""
     return NamedSharding(mesh, P(None, "data"))

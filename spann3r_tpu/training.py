@@ -222,7 +222,7 @@ def train(args) -> None:
         img_size=(args.resolution, args.resolution),
         head_type=args.head_type))
 
-    mesh = pmesh.make_mesh(model=args.model_axis)
+    mesh = pmesh.make_mesh_for_batch(args.batch_size, model=args.model_axis)
     print(f"mesh: {mesh}; process {rank}/{world}")
 
     # datasets

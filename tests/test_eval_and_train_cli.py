@@ -1,0 +1,124 @@
+"""End-to-end driver smoke tests: eval.py pipeline and training.train loop
+on synthetic data with tiny models."""
+import json
+import os
+import os.path as osp
+
+import jax
+import numpy as np
+import pytest
+
+from spann3r_tpu.config import (DUSt3RConfig, FP32, Spann3RConfig, ViTConfig)
+from spann3r_tpu.models import spann3r as sp
+
+HW = (32, 32)
+
+
+def tiny_cfg():
+    return Spann3RConfig(
+        dust3r=DUSt3RConfig(img_size=HW, patch_size=16,
+                            enc=ViTConfig(dim=64, depth=2, num_heads=4),
+                            dec=ViTConfig(dim=48, depth=12, num_heads=4),
+                            head_type="linear"),
+        value_enc_depth=2, value_enc_dim=64, value_enc_heads=4,
+        attn_head_in=64 + 48, attn_head_out=64)
+
+
+@pytest.fixture(scope="module")
+def seven_scenes_root(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("7s")
+    scene = root / "chess" / "seq-01"
+    scene.mkdir(parents=True)
+    (root / "chess" / "TestSplit.txt").write_text("sequence1\n")
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        img = (rng.random((480, 640, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(scene / f"frame-{i:06d}.color.png"), img)
+        depth = (rng.random((480, 640)) * 3000 + 500).astype(np.uint16)
+        cv2.imwrite(str(scene / f"frame-{i:06d}.depth.proj.png"), depth)
+        pose = np.eye(4)
+        pose[:3, 3] = [i * 0.05, 0, 0]
+        np.savetxt(str(scene / f"frame-{i:06d}.pose.txt"), pose)
+    return str(root)
+
+
+def test_eval_cli_end_to_end(seven_scenes_root, tmp_path, monkeypatch):
+    import eval as eval_cli
+    from spann3r_tpu.datasets import SevenScenes
+
+    args = eval_cli.get_args_parser().parse_args([])
+    args.exp_path = str(tmp_path)
+    args.exp_name = "test"
+    args.resolution = 32
+    args.fp32 = True
+    args.datasets = "7scenes"
+
+    monkeypatch.setattr(
+        eval_cli, "build_eval_datasets",
+        lambda a: {"7scenes": SevenScenes(
+            split="test", ROOT=seven_scenes_root, resolution=32, num_seq=1,
+            full_video=True, kf_every=2)})
+
+    cfg = tiny_cfg()
+    params = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
+
+    import spann3r_tpu.utils.torch_ckpt as ck
+    monkeypatch.setattr(eval_cli.sp if hasattr(eval_cli, "sp") else sp,
+                        "init_spann3r", lambda *a, **k: params)
+    # eval falls back to random init when ckpt missing; pin tiny cfg
+    monkeypatch.setattr("spann3r_tpu.config.Spann3RConfig",
+                        lambda **kw: cfg)
+
+    eval_cli.main(args)
+
+    log = osp.join(str(tmp_path), "test", "7scenes", "logs.txt")
+    assert osp.exists(log)
+    content = open(log).read()
+    assert "Accuracy" in content and "Average fps" in content
+    plys = [f for f in os.listdir(osp.join(str(tmp_path), "test", "7scenes"))
+            if f.endswith(".ply")]
+    assert len(plys) >= 2  # pred + gt
+
+
+def test_training_driver_one_epoch(seven_scenes_root, tmp_path, monkeypatch):
+    """training.train() end-to-end: synthetic dataset, 1 epoch, tiny model,
+    checkpoint written and auto-resume path exercised."""
+    from spann3r_tpu import training as tr
+
+    parser = tr.get_args_parser()
+    args = parser.parse_args([])
+    args.resolution = 32
+    args.head_type = "linear"
+    args.num_frames = 3
+    args.batch_size = 2
+    args.batch_size_test = 1
+    args.epochs = 1
+    args.warmup_epochs = 0
+    args.eval_freq = 1
+    args.save_freq = 1
+    args.keep_freq = 0
+    args.print_freq = 1
+    args.num_workers = 1
+    args.bf16 = 0
+    args.output_dir = str(tmp_path / "run")
+    args.train_dataset = (
+        f"4 @ SevenScenes(split='test', ROOT='{seven_scenes_root}', "
+        f"resolution=32, num_frames=3, min_thresh=1, max_thresh=2)")
+    args.test_dataset = (
+        f"SevenScenes(split='test', ROOT='{seven_scenes_root}', "
+        f"resolution=32, full_video=True, kf_every=3, seed=777)")
+
+    monkeypatch.setattr(tr, "Spann3RConfig", lambda **kw: tiny_cfg())
+    tr.train(args)
+
+    ckpt_dir = osp.join(args.output_dir, "checkpoints")
+    assert any("checkpoint-last" in d for d in os.listdir(ckpt_dir))
+    log = osp.join(args.output_dir, "log.txt")
+    assert osp.exists(log)
+    lines = [json.loads(l) for l in open(log)]
+    assert any("epoch" in l for l in lines)
+
+    # auto-resume: second invocation restores and finishes instantly
+    tr.train(args)
