@@ -26,21 +26,23 @@ def main():
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--warmup", type=int, default=4)
     ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--bf16_heads", action="store_true")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
-    from spann3r_tpu.config import BF16, Spann3RConfig
+    from spann3r_tpu.config import BF16, BF16_FAST, Spann3RConfig
     from spann3r_tpu.models import spann3r as sp
 
     hw = (args.height, args.width)
+    prec = BF16_FAST if args.bf16_heads else BF16
     cfg = Spann3RConfig()
     params = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
     # serve in bf16: cast params once (heads are force-fp32 internally)
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params)
 
-    engine = sp.InferenceEngine(params, cfg, hw, BF16)
+    engine = sp.InferenceEngine(params, cfg, hw, prec)
 
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 256, (args.frames, 1, *hw, 3)).astype(np.uint8)
@@ -52,7 +54,7 @@ def main():
     from spann3r_tpu.models.spann3r import init_video_carry, scan_video_chunk
 
     scan = jax.jit(
-        lambda p, c, im, v: scan_video_chunk(p, cfg, c, im, v, hw, BF16),
+        lambda p, c, im, v: scan_video_chunk(p, cfg, c, im, v, hw, prec),
         donate_argnums=(1,))
     valid = jnp.ones(args.chunk, bool)
     chunks = [jnp.asarray(frames[s:s + args.chunk])
@@ -60,11 +62,11 @@ def main():
               if s + args.chunk <= args.frames]
 
     # warmup: compile + exercise fill/dedup/prune paths
-    carry = init_video_carry(cfg, hw, 1, BF16)
+    carry = init_video_carry(cfg, hw, 1, prec)
     carry, ys = scan(params, carry, chunks[0], valid)
     np.asarray(ys["conf"]).ravel()[0]
 
-    carry = init_video_carry(cfg, hw, 1, BF16)
+    carry = init_video_carry(cfg, hw, 1, prec)
     t0 = time.perf_counter()
     outs = []
     for ch in chunks:

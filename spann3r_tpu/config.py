@@ -111,8 +111,10 @@ class Precision:
     head_dtype: jnp.dtype = jnp.float32
 
 
-FP32 = Precision(compute_dtype=jnp.float32)
-BF16 = Precision(compute_dtype=jnp.bfloat16)
+FP32 = Precision(compute_dtype=jnp.float32, head_dtype=jnp.float32)
+BF16 = Precision(compute_dtype=jnp.bfloat16, head_dtype=jnp.float32)
+# serving mode: bf16 everywhere incl. the DPT conv stack
+BF16_FAST = Precision(compute_dtype=jnp.bfloat16, head_dtype=jnp.bfloat16)
 
 
 def dust3r_224_linear() -> DUSt3RConfig:

@@ -73,10 +73,16 @@ def decoder(params, f1: jax.Array, pos1: jax.Array, f2: jax.Array,
 
 
 def downstream_head(params, head_num: int, dec_states: List[jax.Array],
-                    img_hw: Tuple[int, int], cfg: DUSt3RConfig) -> Dict[str, jax.Array]:
-    """Heads always run fp32 (ref dust3r/model.py:220-222)."""
-    states = [s.astype(jnp.float32) for s in dec_states]
-    return head_apply(params[f"head{head_num}"], states, img_hw, cfg)
+                    img_hw: Tuple[int, int], cfg: DUSt3RConfig,
+                    prec: Precision = None) -> Dict[str, jax.Array]:
+    """Heads run fp32 by default (ref dust3r/model.py:220-222); a serving
+    precision with head_dtype=bf16 trades a little accuracy for conv speed.
+    The final postprocess (exp-norm) always computes in the head dtype and
+    returns it unchanged."""
+    dt = jnp.float32 if prec is None else prec.head_dtype
+    states = [s.astype(dt) for s in dec_states]
+    out = head_apply(params[f"head{head_num}"], states, img_hw, cfg)
+    return {k: v.astype(jnp.float32) for k, v in out.items()}
 
 
 def forward(params, img1: jax.Array, img2: jax.Array, cfg: DUSt3RConfig,
@@ -93,7 +99,7 @@ def forward(params, img1: jax.Array, img2: jax.Array, cfg: DUSt3RConfig,
     f1, f2 = feats[:b], feats[b:]
     pos1, pos2 = pos[:b], pos[b:]
     dec1, dec2 = decoder(params, f1, pos1, f2, pos2, cfg, prec)
-    res1 = downstream_head(params, 1, dec1, hw, cfg)
-    res2 = downstream_head(params, 2, dec2, hw, cfg)
+    res1 = downstream_head(params, 1, dec1, hw, cfg, prec)
+    res2 = downstream_head(params, 2, dec2, hw, cfg, prec)
     res2["pts3d_in_other_view"] = res2.pop("pts3d")
     return res1, res2

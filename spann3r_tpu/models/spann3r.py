@@ -118,8 +118,8 @@ def pair_step(params, cfg: Spann3RConfig, feat_fuse: jax.Array,
                             dcfg, prec, remat=remat)
     feat_k1 = attn_head_apply(params["attn_head_1"], feat1, dec1[-1])
     feat_k2 = attn_head_apply(params["attn_head_2"], feat2, dec2[-1])
-    res1 = d3.downstream_head(params["dust3r"], 1, dec1, img_hw, dcfg)
-    res2 = d3.downstream_head(params["dust3r"], 2, dec2, img_hw, dcfg)
+    res1 = d3.downstream_head(params["dust3r"], 1, dec1, img_hw, dcfg, prec)
+    res2 = d3.downstream_head(params["dust3r"], 2, dec2, img_hw, dcfg, prec)
     cur_v = encode_value(params, cfg, res1["pts3d"], dec1[-1], pos, prec, remat)
     return PairOutputs(res1, res2, feat_k1, feat_k2, cur_v)
 
