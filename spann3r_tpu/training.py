@@ -155,6 +155,44 @@ def make_train_step(cfg: Spann3RConfig, prec: Precision, opt, remat: bool = True
     return train_step
 
 
+def make_accum_train_step(cfg: Spann3RConfig, prec: Precision, opt,
+                          accum_iter: int, remat: bool = True,
+                          fix_first: bool = False):
+    """Gradient-accumulation variant (ref training.py:226-231 accum_iter):
+    grad_step accumulates scaled grads; apply_step runs the optimizer."""
+    base = make_train_step(cfg, prec, opt, remat, fix_first)
+    if accum_iter <= 1:
+        return base, None, None
+
+    def loss_fn(params, batch, rng, alpha):
+        frames = jnp.transpose(batch["img"], (1, 0, 2, 3, 4))
+        preds = sp.forward_train(params, frames, cfg, prec, rng=rng,
+                                 remat=remat)
+        gts = {k: batch[k] for k in ("pts3d", "valid_mask", "camera_pose")}
+        loss, details, factor_loss = losses.conf_loss_t(
+            gts, preds, alpha=alpha, norm_mode=True, fix_first=fix_first)
+        return loss + factor_loss, details
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def grad_step(params, grad_acc, batch, rng, alpha):
+        (loss, details), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, rng, alpha)
+        grad_acc = jax.tree.map(lambda a, g: a + g / accum_iter,
+                                grad_acc, grads)
+        return grad_acc, dict(details, loss=loss)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def apply_step(params, opt_state, grad_acc, lr):
+        gnorm = optax.global_norm(grad_acc)
+        updates, opt_state = opt.update(grad_acc, opt_state, params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(params, updates)
+        zeros = jax.tree.map(jnp.zeros_like, updates)
+        return params, opt_state, zeros, gnorm
+
+    return None, grad_step, apply_step
+
+
 def make_eval_step(cfg: Spann3RConfig, prec: Precision, alpha: float = 0.4):
     @jax.jit
     def eval_step(params, batch):
@@ -270,8 +308,11 @@ def train(args) -> None:
     if args.lr is None:
         args.lr = args.blr * eff_batch / 256
 
-    train_step = make_train_step(cfg, prec, opt, remat=bool(args.remat))
+    train_step, grad_step, apply_step = make_accum_train_step(
+        cfg, prec, opt, args.accum_iter, remat=bool(args.remat))
     eval_step = make_eval_step(cfg, prec)
+    grad_acc = (jax.tree.map(jnp.zeros_like, params)
+                if args.accum_iter > 1 else None)
 
     writer = None
     if rank == 0:
@@ -330,9 +371,18 @@ def train(args) -> None:
                        args.epochs)
             rng, step_rng = jax.random.split(rng)
             sharded = pmesh.shard_batch(mesh, batch)
-            params, opt_state, metrics = train_step(
-                params, opt_state, sharded, step_rng,
-                jnp.float32(lr), jnp.float32(alpha))
+            if args.accum_iter > 1:
+                grad_acc, metrics = grad_step(params, grad_acc, sharded,
+                                              step_rng, jnp.float32(alpha))
+                metrics = dict(metrics, grad_norm=0.0)
+                if (it + 1) % args.accum_iter == 0:
+                    params, opt_state, grad_acc, gnorm = apply_step(
+                        params, opt_state, grad_acc, jnp.float32(lr))
+                    metrics["grad_norm"] = gnorm
+            else:
+                params, opt_state, metrics = train_step(
+                    params, opt_state, sharded, step_rng,
+                    jnp.float32(lr), jnp.float32(alpha))
 
             if it % args.print_freq == 0:
                 m = {k: float(v) for k, v in metrics.items()}
