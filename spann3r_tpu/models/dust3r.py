@@ -85,6 +85,50 @@ def downstream_head(params, head_num: int, dec_states: List[jax.Array],
     return {k: v.astype(jnp.float32) for k, v in out.items()}
 
 
+def forward_mixed(params, img1, img2, true_shape1, true_shape2,
+                  cfg: DUSt3RConfig, prec: Precision = BF16) -> Tuple[Dict, Dict]:
+    """Mixed portrait/landscape batches (ref ManyAR_PatchEmbed +
+    transpose_to_landscape, dust3r/utils/misc.py:54-96).
+
+    Host-side split-compute-scatter: portrait samples are transposed to
+    landscape, run through the same compiled landscape program, and their
+    outputs transposed back — static shapes per orientation group, at most
+    two compiled programs per resolution.
+
+    img1/img2: (B, H, W, 3) numpy with W >= H (portrait content pre-rotated
+    by the data pipeline); true_shape*: (B, 2) int (h, w) actual shapes.
+    """
+    import numpy as np
+
+    img1 = np.asarray(img1)
+    img2 = np.asarray(img2)
+    hs, ws = np.asarray(true_shape1).T
+    is_land = ws >= hs
+    b = img1.shape[0]
+
+    res1_out: list = [None] * b
+    res2_out: list = [None] * b
+    for portrait in (False, True):
+        sel = np.nonzero(is_land != portrait)[0]
+        if len(sel) == 0:
+            continue
+        a1, a2 = img1[sel], img2[sel]
+        if portrait:
+            a1 = a1.swapaxes(1, 2)
+            a2 = a2.swapaxes(1, 2)
+        r1, r2 = forward(params, jnp.asarray(a1), jnp.asarray(a2), cfg, prec)
+        r1 = {k: np.asarray(v) for k, v in r1.items()}
+        r2 = {k: np.asarray(v) for k, v in r2.items()}
+        if portrait:
+            r1 = {k: v.swapaxes(1, 2) for k, v in r1.items()}
+            r2 = {k: v.swapaxes(1, 2) for k, v in r2.items()}
+        for n, bi in enumerate(sel):
+            res1_out[bi] = {k: v[n] for k, v in r1.items()}
+            res2_out[bi] = {k: v[n] for k, v in r2.items()}
+    stack = lambda lst: {k: np.stack([d[k] for d in lst]) for k in lst[0]}
+    return stack(res1_out), stack(res2_out)
+
+
 def forward(params, img1: jax.Array, img2: jax.Array, cfg: DUSt3RConfig,
             prec: Precision = BF16) -> Tuple[Dict, Dict]:
     """Two-view forward (ref dust3r/model.py:213-225).

@@ -20,6 +20,7 @@ from __future__ import annotations
 import re
 from typing import Any, Dict, Mapping
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -191,6 +192,112 @@ def convert_spann3r(sd: Mapping[str, np.ndarray], cfg: Spann3RConfig) -> Dict[st
 
 def load_dust3r_checkpoint(path: str, cfg: DUSt3RConfig) -> Dict[str, Any]:
     return convert_dust3r(load_torch_state_dict(path), cfg)
+
+
+# ---------------------------------------------------------------------------
+# reverse conversion: param pytree -> reference-named state_dict (numpy)
+# ---------------------------------------------------------------------------
+
+def _r_lin(sd, prefix, p):
+    sd[prefix + ".weight"] = np.asarray(p["w"]).T
+    if p.get("b") is not None:
+        sd[prefix + ".bias"] = np.asarray(p["b"])
+
+
+def _r_ln(sd, prefix, p):
+    sd[prefix + ".weight"] = np.asarray(p["scale"])
+    sd[prefix + ".bias"] = np.asarray(p["bias"])
+
+
+def _r_conv(sd, prefix, p):
+    sd[prefix + ".weight"] = np.transpose(np.asarray(p["w"]), (3, 2, 0, 1))
+    if p.get("b") is not None:
+        sd[prefix + ".bias"] = np.asarray(p["b"])
+
+
+def _r_deconv(sd, prefix, p):
+    w = np.asarray(p["w"])[::-1, ::-1]  # undo the conv_transpose flip
+    sd[prefix + ".weight"] = np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1)))
+    if p.get("b") is not None:
+        sd[prefix + ".bias"] = np.asarray(p["b"])
+
+
+def _r_block(sd, prefix, p, decoder=False):
+    _r_ln(sd, f"{prefix}.norm1", p["norm1"])
+    _r_lin(sd, f"{prefix}.attn.qkv", p["attn"]["qkv"])
+    _r_lin(sd, f"{prefix}.attn.proj", p["attn"]["proj"])
+    _r_ln(sd, f"{prefix}.norm2", p["norm2"])
+    _r_lin(sd, f"{prefix}.mlp.fc1", p["mlp"]["fc1"])
+    _r_lin(sd, f"{prefix}.mlp.fc2", p["mlp"]["fc2"])
+    if decoder:
+        for k in ("projq", "projk", "projv", "proj"):
+            _r_lin(sd, f"{prefix}.cross_attn.{k}", p["cross_attn"][k])
+        _r_ln(sd, f"{prefix}.norm3", p["norm3"])
+        _r_ln(sd, f"{prefix}.norm_y", p["norm_y"])
+
+
+def _r_block_stack(sd, prefix, stacked, decoder=False):
+    depth = jax.tree.leaves(stacked)[0].shape[0]
+    for i in range(depth):
+        blk = jax.tree.map(lambda x: x[i], stacked)
+        _r_block(sd, f"{prefix}.{i}", blk, decoder)
+
+
+def _r_dpt_head(sd, prefix, p):
+    _r_conv(sd, f"{prefix}.act_postprocess.0.0", p["act0_conv"])
+    _r_deconv(sd, f"{prefix}.act_postprocess.0.1", p["act0_deconv"])
+    _r_conv(sd, f"{prefix}.act_postprocess.1.0", p["act1_conv"])
+    _r_deconv(sd, f"{prefix}.act_postprocess.1.1", p["act1_deconv"])
+    _r_conv(sd, f"{prefix}.act_postprocess.2.0", p["act2_conv"])
+    _r_conv(sd, f"{prefix}.act_postprocess.3.0", p["act3_conv"])
+    _r_conv(sd, f"{prefix}.act_postprocess.3.1", p["act3_conv2"])
+    _r_conv(sd, f"{prefix}.head.0", p["head_conv1"])
+    _r_conv(sd, f"{prefix}.head.2", p["head_conv2"])
+    _r_conv(sd, f"{prefix}.head.4", p["head_conv3"])
+    for i in range(4):
+        _r_conv(sd, f"{prefix}.scratch.layer{i + 1}_rn", p[f"rn{i}"])
+        rf = f"{prefix}.scratch.refinenet{i + 1}"
+        q = p[f"refine{i + 1}"]
+        _r_conv(sd, f"{rf}.resConfUnit1.conv1", q["res1"]["conv1"])
+        _r_conv(sd, f"{rf}.resConfUnit1.conv2", q["res1"]["conv2"])
+        _r_conv(sd, f"{rf}.resConfUnit2.conv1", q["res2"]["conv1"])
+        _r_conv(sd, f"{rf}.resConfUnit2.conv2", q["res2"]["conv2"])
+        _r_conv(sd, f"{rf}.out_conv", q["out_conv"])
+
+
+def to_torch_state_dict_dust3r(params, cfg: DUSt3RConfig) -> Dict[str, np.ndarray]:
+    """dust3r pytree -> reference-named numpy state_dict (for torch.save)."""
+    sd: Dict[str, np.ndarray] = {}
+    _r_conv(sd, "patch_embed.proj", params["patch_embed"]["proj"])
+    _r_block_stack(sd, "enc_blocks", params["enc_blocks"])
+    _r_ln(sd, "enc_norm", params["enc_norm"])
+    _r_lin(sd, "decoder_embed", params["decoder_embed"])
+    _r_block_stack(sd, "dec_blocks", params["dec_blocks"], decoder=True)
+    _r_block_stack(sd, "dec_blocks2", params["dec_blocks2"], decoder=True)
+    _r_ln(sd, "dec_norm", params["dec_norm"])
+    for num in (1, 2):
+        if cfg.head_type == "dpt":
+            _r_dpt_head(sd, f"downstream_head{num}.dpt", params[f"head{num}"])
+        else:
+            _r_lin(sd, f"downstream_head{num}.proj",
+                   params[f"head{num}"]["proj"])
+    return sd
+
+
+def to_torch_state_dict_spann3r(params, cfg: Spann3RConfig) -> Dict[str, np.ndarray]:
+    sd = {f"dust3r.{k}": v for k, v in
+          to_torch_state_dict_dust3r(params["dust3r"], cfg.dust3r).items()}
+    _r_block_stack(sd, "value_encoder", params["value_encoder"])
+    _r_ln(sd, "value_norm", params["value_norm"])
+    _r_lin(sd, "value_out", params["value_out"])
+    for k in ("norm_q", "norm_k", "norm_v"):
+        _r_ln(sd, k, params[k])
+    for num in (1, 2):
+        _r_lin(sd, f"attn_head_{num}.0", params[f"attn_head_{num}"]["fc1"])
+        _r_lin(sd, f"attn_head_{num}.2", params[f"attn_head_{num}"]["fc2"])
+    if "pos_patch_embed" in params:
+        _r_conv(sd, "pos_patch_embed.proj", params["pos_patch_embed"]["proj"])
+    return sd
 
 
 def load_spann3r_checkpoint(path: str, cfg: Spann3RConfig) -> Dict[str, Any]:
