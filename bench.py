@@ -23,9 +23,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--height", type=int, default=384)
     ap.add_argument("--width", type=int, default=512)
-    ap.add_argument("--frames", type=int, default=32)
+    ap.add_argument("--frames", type=int, default=64)
     ap.add_argument("--warmup", type=int, default=4)
-    ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--bf16_heads", action="store_true")
     args = ap.parse_args()
 
