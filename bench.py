@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--warmup", type=int, default=4)
     ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--bf16_heads", action="store_true")
+    ap.add_argument("--profile", type=str, default=None,
+                    help="write a jax.profiler trace to this directory")
     args = ap.parse_args()
 
     import jax
@@ -67,6 +69,11 @@ def main():
     np.asarray(ys["conf"]).ravel()[0]
 
     carry = init_video_carry(cfg, hw, 1, prec)
+    prof = None
+    if args.profile:
+        import jax.profiler as prof_mod
+        prof_mod.start_trace(args.profile)
+        prof = prof_mod
     t0 = time.perf_counter()
     outs = []
     for ch in chunks:
@@ -74,6 +81,8 @@ def main():
         outs.append(ys)
     np.asarray(outs[-1]["conf"])[-1].ravel()[0]  # sync the full pipeline
     elapsed = time.perf_counter() - t0
+    if prof is not None:
+        prof.stop_trace()
     args.frames = len(chunks) * args.chunk
 
     fps = args.frames / elapsed
