@@ -67,6 +67,11 @@ def main(args):
     dataset = Demo(ROOT=args.demo_path, resolution=args.resolution,
                    full_video=True, kf_every=args.kf_every)
     views = dataset[0]
+    if len(views) < 2:
+        raise SystemExit(
+            f"error: need at least 2 frames to reconstruct, found "
+            f"{len(views)} image(s) in {args.demo_path} "
+            f"(kf_every={args.kf_every})")
     batch = collate_views([views])  # {key: (T, 1, ...)}
     demo_name = args.demo_path.rstrip("/").split("/")[-1]
     print(f"Started reconstruction for {demo_name} "
@@ -82,7 +87,8 @@ def main(args):
         order = idx_used
     else:
         engine = sp.InferenceEngine(params, cfg, hw, prec)
-        preds = engine.run(batch["img"])
+        # chunked on-device scan (parity-tested against per-frame streaming)
+        preds = engine.run_video(batch["img"], chunk=min(16, batch["img"].shape[0]))
         order = list(range(batch["img"].shape[0]))
     elapsed = time.time() - t0
     fps = batch["img"].shape[0] / elapsed

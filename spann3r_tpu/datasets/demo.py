@@ -30,6 +30,9 @@ class Demo(BaseManyViewDataset):
         exts = (".jpg", ".jpeg", ".png", ".heic")
         names = [n for n in sorted(os.listdir(self.ROOT))
                  if n.lower().endswith(exts) and "depth" not in n.lower()]
+        if not names:
+            raise FileNotFoundError(
+                f"no images ({'/'.join(exts)}) found in {self.ROOT}")
         names = self.sample_frame_idx(names, rng, full_video=self.full_video)
 
         views = []
