@@ -39,6 +39,11 @@ def build_eval_datasets(args):
         out["NRGBD"] = NRGBD(split="test", ROOT=osp.join(root, "neural_rgbd"),
                              resolution=args.resolution, num_seq=1,
                              full_video=True, kf_every=40)
+    if "Replica" in wanted:
+        from spann3r_tpu.datasets import Replica
+        out["Replica"] = Replica(split="test", ROOT=osp.join(root, "replica"),
+                                 resolution=args.resolution, num_seq=1,
+                                 full_video=True, kf_every=20)
     if "DTU" in wanted:
         out["DTU"] = DTU(split="test", ROOT=osp.join(root, "dtu_test"),
                          resolution=args.resolution, num_seq=1,
@@ -64,7 +69,8 @@ def evaluate_scene(params, cfg, prec, batch, args):
         order = idx_used
     else:
         engine = sp.InferenceEngine(params, cfg, hw, prec)
-        preds = engine.run(batch["img"])
+        preds = engine.run_video(batch["img"],
+                                 chunk=min(16, batch["img"].shape[0]))
         order = list(range(batch["img"].shape[0]))
     elapsed = time.time() - t0
     fps = batch["img"].shape[0] / max(elapsed, 1e-9)

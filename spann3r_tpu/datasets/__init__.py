@@ -20,7 +20,7 @@ from .co3d import Co3d
 from .demo import Demo
 from .dtu import DTU
 from .habitat import habitat
-from .nrgbd import NRGBD
+from .nrgbd import NRGBD, Replica
 from .sampler import BatchedRandomSampler
 from .scannet import Scannet
 from .scannetpp import Scannetpp
@@ -30,6 +30,7 @@ REGISTRY: Dict[str, Any] = {
     "Demo": Demo,
     "SevenScenes": SevenScenes,
     "NRGBD": NRGBD,
+    "Replica": Replica,
     "DTU": DTU,
     "Scannet": Scannet,
     "Scannetpp": Scannetpp,

@@ -12,6 +12,11 @@ from .base import BaseManyViewDataset
 
 
 class NRGBD(BaseManyViewDataset):
+    """Also serves Replica (BASELINE.md): the nice-slam-format Replica
+    release uses the same on-disk layout (images/ depth/ poses.txt, gl
+    poses, mm depth) — instantiate with ROOT pointing at the Replica dir
+    (see the `Replica` alias below)."""
+
     def __init__(self, num_seq=1, num_frames=5, min_thresh=10, max_thresh=100,
                  test_id=None, full_video=False, tuple_path=None, seq_id=None,
                  kf_every=1, *args, ROOT, **kwargs):
@@ -104,4 +109,14 @@ class NRGBD(BaseManyViewDataset):
                               dataset="nrgbd",
                               label=osp.join(scene_id, im_idx),
                               instance=osp.split(impath)[1]))
+        return views
+
+
+class Replica(NRGBD):
+    """Replica eval scenes in nice-slam format (same loader as NRGBD)."""
+
+    def _get_views(self, idx, resolution, rng):
+        views = super()._get_views(idx, resolution, rng)
+        for v in views:
+            v["dataset"] = "replica"
         return views
