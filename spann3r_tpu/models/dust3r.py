@@ -102,29 +102,32 @@ def forward_mixed(params, img1, img2, true_shape1, true_shape2,
 
     img1 = np.asarray(img1)
     img2 = np.asarray(img2)
-    hs, ws = np.asarray(true_shape1).T
-    is_land = ws >= hs
+    land1 = np.asarray(true_shape1)[:, 1] >= np.asarray(true_shape1)[:, 0]
+    land2 = np.asarray(true_shape2)[:, 1] >= np.asarray(true_shape2)[:, 0]
     b = img1.shape[0]
 
     res1_out: list = [None] * b
     res2_out: list = [None] * b
-    for portrait in (False, True):
-        sel = np.nonzero(is_land != portrait)[0]
-        if len(sel) == 0:
-            continue
-        a1, a2 = img1[sel], img2[sel]
-        if portrait:
-            a1 = a1.swapaxes(1, 2)
-            a2 = a2.swapaxes(1, 2)
-        r1, r2 = forward(params, jnp.asarray(a1), jnp.asarray(a2), cfg, prec)
-        r1 = {k: np.asarray(v) for k, v in r1.items()}
-        r2 = {k: np.asarray(v) for k, v in r2.items()}
-        if portrait:
-            r1 = {k: v.swapaxes(1, 2) for k, v in r1.items()}
-            r2 = {k: v.swapaxes(1, 2) for k, v in r2.items()}
-        for n, bi in enumerate(sel):
-            res1_out[bi] = {k: v[n] for k, v in r1.items()}
-            res2_out[bi] = {k: v[n] for k, v in r2.items()}
+    # each view's orientation is independent (ref handles per-view shapes):
+    # group pairs by the (portrait1, portrait2) tuple — at most 4 programs
+    for p1 in (False, True):
+        for p2 in (False, True):
+            sel = np.nonzero((land1 != p1) & (land2 != p2))[0]
+            if len(sel) == 0:
+                continue
+            a1 = img1[sel].swapaxes(1, 2) if p1 else img1[sel]
+            a2 = img2[sel].swapaxes(1, 2) if p2 else img2[sel]
+            r1, r2 = forward(params, jnp.asarray(a1), jnp.asarray(a2),
+                             cfg, prec)
+            r1 = {k: np.asarray(v) for k, v in r1.items()}
+            r2 = {k: np.asarray(v) for k, v in r2.items()}
+            if p1:
+                r1 = {k: v.swapaxes(1, 2) for k, v in r1.items()}
+            if p2:
+                r2 = {k: v.swapaxes(1, 2) for k, v in r2.items()}
+            for n, bi in enumerate(sel):
+                res1_out[bi] = {k: v[n] for k, v in r1.items()}
+                res2_out[bi] = {k: v[n] for k, v in r2.items()}
     stack = lambda lst: {k: np.stack([d[k] for d in lst]) for k in lst[0]}
     return stack(res1_out), stack(res2_out)
 
@@ -136,14 +139,21 @@ def forward(params, img1: jax.Array, img2: jax.Array, cfg: DUSt3RConfig,
     img1, img2: (B, H, W, 3).  res2's pointmap lives in view1's frame.
     """
     hw = img1.shape[1:3]
+    hw2 = img2.shape[1:3]
     b = img1.shape[0]
-    # batch both views through the encoder in one pass (MXU-friendly)
-    feats, pos = encode_image(params, jnp.concatenate([img1, img2], axis=0),
-                              cfg, prec)
-    f1, f2 = feats[:b], feats[b:]
-    pos1, pos2 = pos[:b], pos[b:]
+    if hw == hw2:
+        # batch both views through the encoder in one pass (MXU-friendly)
+        feats, pos = encode_image(params, jnp.concatenate([img1, img2], axis=0),
+                                  cfg, prec)
+        f1, f2 = feats[:b], feats[b:]
+        pos1, pos2 = pos[:b], pos[b:]
+    else:
+        # different spatial shapes (mixed-orientation pair) -> encode
+        # separately (ref dust3r/model.py:156-165)
+        f1, pos1 = encode_image(params, img1, cfg, prec)
+        f2, pos2 = encode_image(params, img2, cfg, prec)
     dec1, dec2 = decoder(params, f1, pos1, f2, pos2, cfg, prec)
     res1 = downstream_head(params, 1, dec1, hw, cfg, prec)
-    res2 = downstream_head(params, 2, dec2, hw, cfg, prec)
+    res2 = downstream_head(params, 2, dec2, hw2, cfg, prec)
     res2["pts3d_in_other_view"] = res2.pop("pts3d")
     return res1, res2

@@ -9,6 +9,7 @@ frames are encoded once (dict-cached) rather than per-pair.
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Sequence, Tuple
 
 import jax
@@ -17,6 +18,23 @@ import numpy as np
 
 from ..config import BF16, DUSt3RConfig, Precision
 from . import dust3r as d3
+
+
+# params passed as traced args (NOT closed over) so weights are not baked
+# into the executable as constants and programs are reused across calls
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _encode_jit(params, imgs, cfg, prec):
+    return d3.encode_image(params, imgs, cfg, prec)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _decode_jit(params, f1, f2, pos1, hw, cfg, prec):
+    b, p_tokens, _ = f1.shape
+    pp = jnp.broadcast_to(pos1, (b, p_tokens, 2))
+    dec1, dec2 = d3.decoder(params, f1, pp, f2, pp, cfg, prec)
+    r1 = d3.downstream_head(params, 1, dec1, hw, cfg, prec)
+    r2 = d3.downstream_head(params, 2, dec2, hw, cfg, prec)
+    return r1, r2
 
 
 def inference(pairs: Sequence[Tuple[dict, dict]], params, cfg: DUSt3RConfig,
@@ -38,19 +56,12 @@ def inference(pairs: Sequence[Tuple[dict, dict]], params, cfg: DUSt3RConfig,
             frames.setdefault(int(v["idx"]), np.asarray(v["img"]))
     idxs = sorted(frames)
     imgs = jnp.asarray(np.concatenate([frames[i] for i in idxs], axis=0))
-    feats, pos = jax.jit(
-        lambda p, im: d3.encode_image(p, im, cfg, prec))(params, imgs)
+    feats, pos = _encode_jit(params, imgs, cfg, prec)
     feat_of = {i: feats[k] for k, i in enumerate(idxs)}
     hw = imgs.shape[1:3]
 
-    @jax.jit
     def decode_batch(f1, f2):
-        b, p_tokens, _ = f1.shape
-        pp = jnp.broadcast_to(pos[:1], (b, p_tokens, 2))
-        dec1, dec2 = d3.decoder(params, f1, pp, f2, pp, cfg, prec)
-        r1 = d3.downstream_head(params, 1, dec1, hw, cfg, prec)
-        r2 = d3.downstream_head(params, 2, dec2, hw, cfg, prec)
-        return r1, r2
+        return _decode_jit(params, f1, f2, pos[:1], hw, cfg, prec)
 
     n = len(pairs)
     pts1 = np.empty((n, *hw, 3), np.float32)

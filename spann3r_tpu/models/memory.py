@@ -183,8 +183,18 @@ def add_mem_check(state: MemoryState, feat_k: jax.Array, feat_v: jax.Array,
     def do_add(s: MemoryState) -> MemoryState:
         s = _append(s, feat_k, feat_v)
         s = s._replace(wm=s.wm + 1)
-        # working -> long-term spill (counter-only; the bank is contiguous)
         spill = s.wm > cfg.work_mem_size
+        if cfg.long_mem_size == 0:
+            # pure sliding window (ref spann3r/model.py:131-137): evict the
+            # oldest frame by rolling the bank left by one frame's tokens
+            def evict(s2: MemoryState) -> MemoryState:
+                roll = lambda a: jnp.roll(a, -p, axis=1)
+                return s2._replace(
+                    k=roll(s2.k), v=roll(s2.v), count=roll(s2.count),
+                    attn=roll(s2.attn), size=s2.size - p, wm=s2.wm - 1)
+
+            return jax.lax.cond(spill, evict, lambda x: x, s)
+        # working -> long-term spill (counter-only; the bank is contiguous)
         s = s._replace(
             wm=jnp.where(spill, s.wm - 1, s.wm),
             lm=jnp.where(spill, s.lm + p, s.lm),

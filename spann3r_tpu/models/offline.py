@@ -12,6 +12,7 @@ dust3r/inference.py:62-78):
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Tuple
 
 import jax
@@ -25,6 +26,46 @@ from .pairs import make_pairs
 from .spann3r import _memory_norms, pair_step
 
 
+# module-level jits with params as traced args — weights are not baked into
+# the executables and programs are shared across offline_reconstruction calls
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _decode_conf_jit(params, f1, f2, pos1, img_hw, dcfg, prec):
+    b, p_tokens, _ = f1.shape
+    pp = jnp.broadcast_to(pos1, (b, p_tokens, 2))
+    dec1, dec2 = d3.decoder(params, f1, pp, f2, pp, dcfg, prec)
+    r1 = d3.downstream_head(params, 1, dec1, img_hw, dcfg, prec)
+    r2 = d3.downstream_head(params, 2, dec2, img_hw, dcfg, prec)
+    return _conf_sig_mean(r1["conf"]) + _conf_sig_mean(r2["conf"])
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def _pair_jit(params, feat_fuse, f1, f2, pos, cfg, img_hw, prec):
+    return pair_step(params, cfg, feat_fuse, f1, f2, pos, img_hw, prec)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _score_all_jit(params, feat_fuse, all_feats, pos, n, cfg, img_hw, prec):
+    dcfg = cfg.dust3r
+    p_tokens = pos.shape[1]
+    ff = jnp.broadcast_to(feat_fuse, (n, p_tokens, feat_fuse.shape[-1]))
+    pp = jnp.broadcast_to(pos, (n, p_tokens, 2))
+    dec1, dec2 = d3.decoder(params["dust3r"], ff, pp, all_feats, pp, dcfg, prec)
+    r1 = d3.downstream_head(params["dust3r"], 1, dec1, img_hw, dcfg, prec)
+    r2 = d3.downstream_head(params["dust3r"], 2, dec2, img_hw, dcfg, prec)
+    return _conf_sig_mean(r1["conf"]) + _conf_sig_mean(r2["conf"])
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _read_jit(params, mem, q, cfg):
+    return memory_read(_memory_norms(params), mem, q,
+                       attn_thresh=cfg.memory.attn_thresh)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _write_jit(mem, k, v, cfg):
+    return add_mem_check(mem, k, v, cfg.memory)
+
+
 def _conf_sig_mean(conf: jax.Array) -> jax.Array:
     """mean of (conf-1)/conf over pixels (ref spann3r/model.py:346-349)."""
     sig = (conf - 1.0) / conf
@@ -36,14 +77,8 @@ def pairwise_confidences(params, feats, pos, pairs, img_hw, cfg: Spann3RConfig,
     """Decode pair chunks, return summed sigmoid-conf per pair (N_pairs,)."""
     dcfg = cfg.dust3r
 
-    @jax.jit
     def decode_chunk(f1, f2):
-        b, p, _ = f1.shape
-        pp = jnp.broadcast_to(pos[:1], (b, p, 2))
-        dec1, dec2 = d3.decoder(params, f1, pp, f2, pp, dcfg, prec)
-        r1 = d3.downstream_head(params, 1, dec1, img_hw, dcfg)
-        r2 = d3.downstream_head(params, 2, dec2, img_hw, dcfg)
-        return _conf_sig_mean(r1["conf"]) + _conf_sig_mean(r2["conf"])
+        return _decode_conf_jit(params, f1, f2, pos[:1], img_hw, dcfg, prec)
 
     confs = np.zeros(len(pairs), dtype=np.float32)
     idx = 0
@@ -95,26 +130,18 @@ def offline_reconstruction(params, frames: np.ndarray, cfg: Spann3RConfig,
     i0, i1 = find_initial_pair(pairs, confs, n)
 
     # jitted single-pair step (shared with the online engine)
-    @jax.jit
     def _pair(feat_fuse, f1, f2):
-        return pair_step(params, cfg, feat_fuse, f1, f2, pos, img_hw, prec)
+        return _pair_jit(params, feat_fuse, f1, f2, pos, cfg, img_hw, prec)
 
     # batched candidate scorer: decode every frame against the fused ref
-    @jax.jit
     def _score_all(feat_fuse, all_feats):
-        ff = jnp.broadcast_to(feat_fuse, (n, p_tokens, feat_fuse.shape[-1]))
-        pp = jnp.broadcast_to(pos, (n, p_tokens, 2))
-        dec1, dec2 = d3.decoder(params["dust3r"], ff, pp, all_feats, pp,
-                                dcfg, prec)
-        r1 = d3.downstream_head(params["dust3r"], 1, dec1, img_hw, dcfg)
-        r2 = d3.downstream_head(params["dust3r"], 2, dec2, img_hw, dcfg)
-        return _conf_sig_mean(r1["conf"]) + _conf_sig_mean(r2["conf"])
+        return _score_all_jit(params, feat_fuse, all_feats, pos, n, cfg,
+                              img_hw, prec)
 
     mem = init_memory(1, cfg.memory.capacity(p_tokens), cfg.attn_head_out,
                       dtype=prec.compute_dtype)
-    read = jax.jit(lambda m, q: memory_read(_memory_norms(params), m, q,
-                                            attn_thresh=cfg.memory.attn_thresh))
-    write = jax.jit(lambda m, k, v: add_mem_check(m, k, v, cfg.memory))
+    read = lambda m, q: _read_jit(params, m, q, cfg)
+    write = lambda m, k, v: _write_jit(m, k, v, cfg)
 
     idx_used = [i0, i1]
     idx_todo = [i for i in range(n) if i not in idx_used]

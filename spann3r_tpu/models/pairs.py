@@ -45,11 +45,18 @@ def make_pairs(n_or_items, scene_graph: str = "complete", prefilter=None,
     if isinstance(prefilter, str) and prefilter.startswith(("seq", "cyc")):
         cyclic = prefilter.startswith("cyc")
         thr = int(prefilter[3:])
+
+        def idx_of(item):
+            # items may be ints or view dicts with an 'idx' field
+            # (ref dust3r/image_pairs.py:72-75 filters by view['idx'])
+            return int(item["idx"]) if isinstance(item, dict) else int(item)
+
         kept = []
         for a, b in pairs:
-            dis = abs(a - b)
+            ia, ib = idx_of(a), idx_of(b)
+            dis = abs(ia - ib)
             if cyclic:
-                dis = min(dis, abs(a + n - b), abs(a - n - b))
+                dis = min(dis, abs(ia + n - ib), abs(ia - n - ib))
             if dis <= thr:
                 kept.append((a, b))
         pairs = kept

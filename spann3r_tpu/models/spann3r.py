@@ -416,6 +416,8 @@ class InferenceEngine:
             key = "pts3d" if not preds else "pts3d_in_other_view"
             preds.append({key: np.asarray(ys["pts3d"][i], np.float32),
                           "conf": np.asarray(ys["conf"][i], np.float32)})
+        if not preds:  # no pair was ever formed (e.g. a 1-frame video)
+            return []
         res2 = carry[3]
         preds.append({"pts3d_in_other_view":
                       np.asarray(res2["pts3d"], np.float32),
