@@ -204,10 +204,19 @@ def scan_video_chunk(params, cfg: Spann3RConfig, carry, imgs: jax.Array,
             return img.astype(prec.compute_dtype) * (2.0 / 255.0) - 1.0
         return img.astype(prec.compute_dtype)
 
+    # Encode ALL chunk frames in ONE batched ViT-L pass (far better MXU
+    # utilization than per-frame B=1 encodes inside the scan); only the
+    # decode+memory chain — the true data dependency — stays sequential.
+    chunk, b, h, w, _ = imgs.shape
+    flat = prep(imgs.reshape(chunk * b, h, w, 3))
+    feats_all, pos = d3.encode_image(params["dust3r"], flat, dcfg, prec)
+    feats_all = feats_all.reshape(chunk, b, feats_all.shape[-2],
+                                  feats_all.shape[-1])
+    pos = pos[:b]
+
     def body(carry, step):
         mem, feat_prev, feat_k2, res2_prev, have_prev, have_key = carry
-        img, valid = step
-        feat2, pos = d3.encode_image(params["dust3r"], prep(img), dcfg, prec)
+        feat2, valid = step
         fused, mem_read = memory_read(_memory_norms(params), mem, feat_k2,
                                       attn_thresh=cfg.memory.attn_thresh)
         feat_fuse = jnp.where(have_key, fused, feat_prev)
@@ -237,7 +246,7 @@ def scan_video_chunk(params, cfg: Spann3RConfig, carry, imgs: jax.Array,
               "emitted": do_write}
         return new_carry, ys
 
-    return jax.lax.scan(body, carry, (imgs, frame_valid))
+    return jax.lax.scan(body, carry, (feats_all, frame_valid))
 
 
 def init_video_carry(cfg: Spann3RConfig, img_hw: Tuple[int, int],
