@@ -77,21 +77,11 @@ def main(args):
     print(f"Started reconstruction for {demo_name} "
           f"({batch['img'].shape[0]} frames)")
 
+    from spann3r_tpu.api import reconstruct_video
     hw = batch["img"].shape[2:4]
-    t0 = time.time()
-    if args.offline:
-        from spann3r_tpu.models.offline import offline_reconstruction
-        preds, preds_all, idx_used = offline_reconstruction(
-            params, batch["img"][:, 0], cfg, hw,
-            scene_graph=args.scenegraph_type, prec=prec)
-        order = idx_used
-    else:
-        engine = sp.InferenceEngine(params, cfg, hw, prec)
-        # chunked on-device scan (parity-tested against per-frame streaming)
-        preds = engine.run_video(batch["img"], chunk=min(16, batch["img"].shape[0]))
-        order = list(range(batch["img"].shape[0]))
-    elapsed = time.time() - t0
-    fps = batch["img"].shape[0] / elapsed
+    preds, order, fps = reconstruct_video(
+        params, cfg, batch["img"], prec, offline=args.offline,
+        scene_graph=args.scenegraph_type)
     print(f"Finished reconstruction for {demo_name}, FPS: {fps:.2f}")
 
     save_demo_path = osp.join(workspace, demo_name)

@@ -59,21 +59,10 @@ def evaluate_scene(params, cfg, prec, batch, args):
     from spann3r_tpu.models import spann3r as sp
     from spann3r_tpu.utils.geometry import geotrf
 
-    hw = batch["img"].shape[2:4]
-    t0 = time.time()
-    if args.offline:
-        from spann3r_tpu.models.offline import offline_reconstruction
-        preds, preds_all, idx_used = offline_reconstruction(
-            params, batch["img"][:, 0], cfg, hw,
-            scene_graph=args.scenegraph_type, prec=prec)
-        order = idx_used
-    else:
-        engine = sp.InferenceEngine(params, cfg, hw, prec)
-        preds = engine.run_video(batch["img"],
-                                 chunk=min(16, batch["img"].shape[0]))
-        order = list(range(batch["img"].shape[0]))
-    elapsed = time.time() - t0
-    fps = batch["img"].shape[0] / max(elapsed, 1e-9)
+    from spann3r_tpu.api import reconstruct_video
+    preds, order, fps = reconstruct_video(
+        params, cfg, batch["img"], prec, offline=args.offline,
+        scene_graph=args.scenegraph_type)
 
     # stack predictions as (T-1,...) pairs for the alignment criterion
     t = len(preds)
@@ -95,15 +84,12 @@ def evaluate_scene(params, cfg, prec, batch, args):
                "conf_1": jnp.asarray(conf_seq[:-1, None]),
                "conf_2": jnp.asarray(conf_seq[1:, None])}
 
-    gt_pts, pr_l, pr_r, _, _, valids = L.regr3d_t_scale_shift_inv(
+    gt_pts, pr_l, pr_r, _, _, valids, monitoring = L.regr3d_t_scale_shift_inv(
         gts, preds_j, gt_scale=True, norm_mode=False)
 
-    # re-anchor into the world frame (ref eval.py:139-156): add back the GT
-    # median depth shift and transform by camera_pose[0]
-    gt_z = jnp.stack([g[..., 2] for g in gt_pts])
-    vm = jnp.stack(valids)
-    from spann3r_tpu.losses import _joint_depth_median
-    gt_shift = _joint_depth_median(gt_z, vm)
+    # re-anchor into the world frame (ref eval.py:139-156): add back the
+    # PRE-subtraction GT median depth shift and transform by camera_pose[0]
+    gt_shift = monitoring["gt_shift_z"]
     in_cam1 = jnp.asarray(ordered["camera_pose"][0])
 
     pts_aligned, gt_aligned = [], []

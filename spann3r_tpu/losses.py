@@ -73,8 +73,11 @@ def get_all_pts3d_t(gts: Dict, preds: Dict, norm_mode: bool = True,
     """Transform GT into camera-1 frame, collect pred lists, normalize.
 
     Returns (gt_pts list[T], pr_l list[T-1], pr_r list[T-1], gt_factor,
-    pr_factor, valids list[T]).
+    pr_factor, valids list[T], monitoring dict).  monitoring carries the
+    PRE-subtraction shift/scale values (the reference exposes these via its
+    monitoring dict, spann3r/loss.py:321,362 — eval.py re-anchors with them).
     """
+    monitoring = {}
     t = gts["pts3d"].shape[0]
     in_cam1 = inv_se3(gts["camera_pose"][0])  # (B,4,4)
 
@@ -100,6 +103,8 @@ def get_all_pts3d_t(gts: Dict, preds: Dict, norm_mode: bool = True,
         vm = jnp.stack(valids)
         gt_shift = _joint_depth_median(gt_z, vm)
         pr_shift = _joint_depth_median(pr_z, jnp.stack(valids[:t - 1] + [valids[-1]]))
+        monitoring["gt_shift_z"] = gt_shift
+        monitoring["pred_shift_z"] = pr_shift
         gt_pts = [g.at[..., 2].add(-gt_shift[:, None, None]) for g in gt_pts]
         pr_l = [p.at[..., 2].add(-pr_shift[:, None, None]) for p in pr_l]
         pr_r = [p.at[..., 2].add(-pr_shift[:, None, None]) for p in pr_r]
@@ -110,6 +115,8 @@ def get_all_pts3d_t(gts: Dict, preds: Dict, norm_mode: bool = True,
         pr_scale_v = _joint_center_scale(pr_l + [pr_r[-1]],
                                          valids[:t - 1] + [valids[-1]])
         pr_scale_v = jnp.clip(pr_scale_v, 1e-3, 1e3)
+        monitoring["gt_scale"] = gt_scale_v
+        monitoring["pred_scale"] = pr_scale_v
         if gt_scale:
             r = (gt_scale_v / pr_scale_v)[:, None, None, None]
             pr_l = [p * r for p in pr_l]
@@ -121,7 +128,7 @@ def get_all_pts3d_t(gts: Dict, preds: Dict, norm_mode: bool = True,
             g = (gt_scale_v / pr_scale_v)[:, None, None, None]
             gt_pts = [x * g for x in gt_pts]
 
-    return gt_pts, pr_l, pr_r, gt_factor, pr_factor, valids
+    return gt_pts, pr_l, pr_r, gt_factor, pr_factor, valids, monitoring
 
 
 def _joint_depth_median(zs: jax.Array, valids: jax.Array,
@@ -151,7 +158,8 @@ def regr3d_t_frame_losses(gts: Dict, preds: Dict, **kw):
 
     Returns (losses list of (T-1)*2 per-pixel maps, masks, confs,
     factor_loss, details)."""
-    gt_pts, pr_l, pr_r, gt_factor, pr_factor, valids = get_all_pts3d_t(gts, preds, **kw)
+    gt_pts, pr_l, pr_r, gt_factor, pr_factor, valids, _ = \
+        get_all_pts3d_t(gts, preds, **kw)
     t = len(gt_pts)
 
     losses, masks, confs = [], [], []

@@ -14,8 +14,8 @@ import numpy as np
 
 
 def _colormap(x: np.ndarray, cmap: str = "jet") -> np.ndarray:
-    import matplotlib.cm as cm
-    return cm.get_cmap(cmap)(np.clip(x, 0, 1))[..., :3]
+    import matplotlib
+    return matplotlib.colormaps[cmap](np.clip(x, 0, 1))[..., :3]
 
 
 def pts_to_hsv_image(pts: np.ndarray) -> np.ndarray:

@@ -285,9 +285,23 @@ def train(args) -> None:
         if "pos_patch_embed" in params:
             params["pos_patch_embed"] = jax.tree.map(
                 lambda x: x, params["dust3r"]["patch_embed"])
-    if args.pretrained and args.pretrained.endswith(".pth"):
-        from .utils.torch_ckpt import load_spann3r_checkpoint
-        params = load_spann3r_checkpoint(args.pretrained, cfg)
+    if args.pretrained:
+        if args.pretrained.endswith(".pth"):
+            from .utils.torch_ckpt import load_spann3r_checkpoint
+            params = load_spann3r_checkpoint(args.pretrained, cfg)
+        elif os.path.isdir(args.pretrained):
+            import orbax.checkpoint as ocp
+            restored = ocp.StandardCheckpointer().restore(
+                os.path.abspath(args.pretrained),
+                {"params": params, "opt_state": opt_state,
+                 "epoch": np.array(0, np.int32),
+                 "best": np.array(np.inf, np.float32)})
+            params = restored["params"]
+            print(f"warm-started params from orbax {args.pretrained}")
+        else:
+            raise FileNotFoundError(
+                f"--pretrained {args.pretrained}: expected a .pth file or an "
+                f"orbax checkpoint directory")
 
     opt = make_optimizer(args.weight_decay)
     opt_state = opt.init(params)
@@ -365,6 +379,8 @@ def train(args) -> None:
         sampler.set_epoch(epoch)
 
         # ---- one epoch ----
+        from .utils.metrics import MetricLogger
+        logger = MetricLogger()
         for it, batch in enumerate(loader):
             epoch_f = epoch + it / steps_per_epoch
             lr = lr_at(epoch_f, args.lr, args.min_lr, args.warmup_epochs,
@@ -388,6 +404,7 @@ def train(args) -> None:
                 m = {k: float(v) for k, v in metrics.items()}
                 if not math.isfinite(m["loss"]):
                     raise RuntimeError(f"non-finite loss at {epoch_f}: {m}")
+                logger.update(loss=m["loss"], grad_norm=m["grad_norm"], lr=lr)
                 print(f"E{epoch} it{it}/{steps_per_epoch} "
                       f"loss={m['loss']:.4f} lr={lr:.2e} "
                       f"gnorm={m['grad_norm']:.2f} ar={active_ratio:.2f} "
@@ -398,17 +415,28 @@ def train(args) -> None:
                     writer.add_scalar("train_lr", lr, step1000)
                     writer.add_scalar("active_ratio", active_ratio, step1000)
 
+        # cross-host metric sync + epoch summary (ref misc.py:119-121,
+        # training.py:257-259 "Averaged stats")
+        logger.synchronize_between_processes()
+        print(f"E{epoch} averaged stats: {logger}")
+
     print(f"Training done in {time.time() - t0:.0f}s")
 
 
 def test_one_epoch(eval_step, params, dataset, batch_size: int) -> Dict[str, float]:
-    """Seeded held-out eval tracking mean + median loss
-    (ref training.py:94-168)."""
+    """Seeded held-out eval tracking mean + median loss, all-reduced across
+    hosts (ref training.py:94-168, misc.py:45-56)."""
     loader = DataLoader(dataset, batch_size, num_workers=1)
     losses_all = []
     for batch in loader:
         loss, _ = eval_step(params, batch)
         losses_all.append(float(loss))
+    if jax.process_count() > 1:
+        from jax.experimental.multihost_utils import process_allgather
+        pad = np.full(max(1, len(losses_all)), np.nan, np.float32)
+        pad[:len(losses_all)] = losses_all
+        gathered = np.asarray(process_allgather(pad)).ravel()
+        losses_all = gathered[np.isfinite(gathered)].tolist()
     if not losses_all:
         return {}
     return {"loss_avg": float(np.mean(losses_all)),

@@ -109,16 +109,18 @@ def test_scale_shift_inv_parity(rng):
     from spann3r.loss import Regr3D_t_ScaleShiftInv
 
     gts, preds = _make_data(rng)
+    # compute OURS first: the reference mutates its inputs in place
+    # (Regr3D_t_ShiftInv's `-=` writes through the from_numpy-shared buffers)
+    gts_j = {k: jnp.asarray(v) for k, v in gts.items()}
+    preds_j = {k: jnp.asarray(v) for k, v in preds.items()}
+    gt_pts, pr_l, pr_r, _, _, valids, monitoring = L.regr3d_t_scale_shift_inv(
+        gts_j, preds_j, gt_scale=True, norm_mode=False)
+
     ref_gts, ref_preds = _to_ref(gts, preds)
     crit = Regr3D_t_ScaleShiftInv(L21, norm_mode=False, gt_scale=True)
     with torch.no_grad():
-        r_gt, r_pr, _, _, r_masks, _ = crit.get_all_pts3d_t(ref_gts, ref_preds)
+        r_gt, r_pr, _, _, r_masks, r_mon = crit.get_all_pts3d_t(ref_gts, ref_preds)
     r_pr_l, r_pr_r = r_pr
-
-    gts_j = {k: jnp.asarray(v) for k, v in gts.items()}
-    preds_j = {k: jnp.asarray(v) for k, v in preds.items()}
-    gt_pts, pr_l, pr_r, _, _, valids = L.regr3d_t_scale_shift_inv(
-        gts_j, preds_j, gt_scale=True, norm_mode=False)
 
     for i in range(T):
         np.testing.assert_allclose(np.asarray(gt_pts[i]), r_gt[i].numpy(),
@@ -128,6 +130,12 @@ def test_scale_shift_inv_parity(rng):
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(pr_r[i]), r_pr_r[i].numpy(),
                                    rtol=1e-4, atol=1e-4)
+    # the pre-subtraction shifts power eval.py's world-frame re-anchoring
+    # (ref eval.py:128-156); reference monitoring stores the batch mean
+    np.testing.assert_allclose(float(monitoring["gt_shift_z"].mean()),
+                               float(r_mon["gt_shift_z"]), rtol=1e-5)
+    np.testing.assert_allclose(float(monitoring["pred_shift_z"].mean()),
+                               float(r_mon["pred_shift_z"]), rtol=1e-5)
 
 
 def test_masked_stats_match_torch_nan(rng):
