@@ -73,9 +73,22 @@ def linear_head_apply(p, dec_states: List[jax.Array], img_hw: Tuple[int, int],
     return postprocess(fmap, cfg)
 
 
+def _damp(p, factor=0.01):
+    """Scale down a layer's random init.
+
+    Applied to the final head projection only: with the 'exp' depth mode
+    (pts = xyz/|xyz| * expm1(|xyz|)), full-width random init can emit
+    |xyz| > 88 whose expm1 overflows and NaNs from-scratch training within
+    a few steps (the reference always warm-starts from DUSt3R and simply
+    sys.exits on non-finite loss, training.py:222-224).  Checkpoint loading
+    overwrites this, so parity is unaffected."""
+    return {"w": p["w"] * factor, "b": p.get("b")}
+
+
 def init_linear_head(key, cfg: DUSt3RConfig, dtype=jnp.float32):
     ps = cfg.patch_size
-    return {"proj": init_linear(key, cfg.dec.dim, cfg.out_channels * ps * ps, dtype=dtype)}
+    return {"proj": _damp(init_linear(key, cfg.dec.dim,
+                                      cfg.out_channels * ps * ps, dtype=dtype))}
 
 
 # ---------------------------------------------------------------------------
@@ -177,8 +190,8 @@ def init_dpt_head(key, cfg: DUSt3RConfig, dtype=jnp.float32):
         "refine4": fusion(next(keys)),
         "head_conv1": init_conv2d(next(keys), 3, 3, fd, fd // 2, dtype=dtype),
         "head_conv2": init_conv2d(next(keys), 3, 3, fd // 2, cfg.dpt_last_dim, dtype=dtype),
-        "head_conv3": init_conv2d(next(keys), 1, 1, cfg.dpt_last_dim,
-                                  cfg.out_channels, dtype=dtype),
+        "head_conv3": _damp(init_conv2d(next(keys), 1, 1, cfg.dpt_last_dim,
+                                        cfg.out_channels, dtype=dtype)),
     }
 
 
