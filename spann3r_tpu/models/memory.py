@@ -58,6 +58,11 @@ def _valid_mask(state: MemoryState) -> jax.Array:
     return (jnp.arange(c, dtype=jnp.int32) < state.size)[None, :]  # (1, C)
 
 
+def _use_pallas_memread() -> bool:
+    import os
+    return os.environ.get("SPANN3R_PALLAS_MEMREAD") == "1"
+
+
 def memory_read(norms, state: MemoryState, feat: jax.Array,
                 attn_thresh: float, ln_eps: float = 1e-6,
                 dropout_rng: Optional[jax.Array] = None,
@@ -67,11 +72,27 @@ def memory_read(norms, state: MemoryState, feat: jax.Array,
 
     feat: (B, P, D) query features.  Returns (fused (B, P, D), state with
     accumulated attention).  Returns feat unchanged when the bank is empty.
+
+    With SPANN3R_PALLAS_MEMREAD=1 (inference, B=1, no dropout) the
+    masked-softmax + threshold-renorm + attn-stat chain runs as one fused
+    Pallas kernel streaming the bank from HBM (ops/pallas_memory.py).
     """
     d = feat.shape[-1]
     q = layer_norm(norms["norm_q"], feat, ln_eps)
     k = layer_norm(norms["norm_k"], state.k.astype(feat.dtype), ln_eps)
     vv = layer_norm(norms["norm_v"], state.v.astype(feat.dtype), ln_eps)
+
+    if (_use_pallas_memread() and feat.shape[0] == 1
+            and dropout_rng is None):
+        from ..ops.pallas_memory import memory_read_attention
+        out, attn_slot = memory_read_attention(q, k, vv, state.size,
+                                               attn_thresh)
+        if res:
+            out = out + feat
+        has_mem = state.size > 0
+        out = jnp.where(has_mem, out, feat)
+        new_attn = state.attn + jnp.where(has_mem, attn_slot, 0.0)
+        return out, state._replace(attn=new_attn)
 
     logits = jnp.einsum("bpc,bxc->bpx", q, k,
                         preferred_element_type=jnp.float32)
