@@ -2,18 +2,22 @@
 
 TPU re-design of the reference SpatialMemory (spann3r/model.py:11-210),
 which grows tensors with torch.cat and prunes with data-dependent shapes.
-Here the bank has a STATIC capacity with a validity count, so every op is a
-masked dense op and the whole frame loop compiles under jit/lax.scan:
+Here the bank has a STATIC capacity with per-stream validity counts, so
+every op is a masked dense op and the whole frame loop compiles under
+jit/lax.scan:
 
-  - append       = dynamic_update_slice at the current size
+  - append       = per-stream dynamic-update-slice at each stream's size
   - dedup check  = masked cosine similarity vs the working-memory window
   - spill        = counter bookkeeping only (working -> long-term)
   - prune        = lax.top_k over masked usage weights + gather
   - read         = single-head attention with -inf masking + threshold renorm
 
-Semantics match the reference exactly (incl. the prune protection rule for
-slots younger than work_mem_size+5 frames and the attention-sparsification
-threshold); tests/test_memory.py checks behavioural parity step by step.
+All counters (size/wm/lm) are per-stream (B,) so a batch of B independent
+video streams can be served through one program with per-stream dedup and
+pruning — the reference makes one global decision because it only ever runs
+B=1 at eval (spann3r/model.py:114 takes the batch max); for B=1 the
+semantics coincide and parity is tested step by step
+(tests/test_memory.py).
 """
 from __future__ import annotations
 
@@ -29,15 +33,15 @@ NEG_INF = -1e30
 
 
 class MemoryState(NamedTuple):
-    """Token bank. Slots [0, size) are valid; order matches the reference's
-    append/prune ordering so working memory is always the suffix."""
+    """Token bank. Per stream b, slots [0, size[b]) are valid; order matches
+    the reference's append/prune ordering so working memory is the suffix."""
     k: jax.Array        # (B, C, D) keys
     v: jax.Array        # (B, C, D) values
     count: jax.Array    # (B, C) age of each slot in frames
     attn: jax.Array     # (B, C) accumulated attention received
-    size: jax.Array     # () int32 — number of valid token slots
-    wm: jax.Array       # () int32 — number of working-memory frames
-    lm: jax.Array       # () int32 — number of long-term tokens
+    size: jax.Array     # (B,) int32 — number of valid token slots
+    wm: jax.Array       # (B,) int32 — number of working-memory frames
+    lm: jax.Array       # (B,) int32 — number of long-term tokens
 
 
 def init_memory(batch: int, capacity: int, dim: int,
@@ -47,15 +51,25 @@ def init_memory(batch: int, capacity: int, dim: int,
         v=jnp.zeros((batch, capacity, dim), dtype),
         count=jnp.zeros((batch, capacity), jnp.float32),
         attn=jnp.zeros((batch, capacity), jnp.float32),
-        size=jnp.zeros((), jnp.int32),
-        wm=jnp.zeros((), jnp.int32),
-        lm=jnp.zeros((), jnp.int32),
+        size=jnp.zeros((batch,), jnp.int32),
+        wm=jnp.zeros((batch,), jnp.int32),
+        lm=jnp.zeros((batch,), jnp.int32),
     )
 
 
 def _valid_mask(state: MemoryState) -> jax.Array:
     c = state.k.shape[1]
-    return (jnp.arange(c, dtype=jnp.int32) < state.size)[None, :]  # (1, C)
+    return jnp.arange(c, dtype=jnp.int32)[None, :] < state.size[:, None]
+
+
+def _per_stream_select(pred: jax.Array, new: MemoryState,
+                       old: MemoryState) -> MemoryState:
+    """Select new/old per stream; pred: (B,) bool."""
+    def sel(a, b):
+        p = pred.reshape((-1,) + (1,) * (a.ndim - 1))
+        return jnp.where(p, a, b)
+
+    return jax.tree.map(sel, new, old)
 
 
 def _use_pallas_memread() -> bool:
@@ -71,7 +85,7 @@ def memory_read(norms, state: MemoryState, feat: jax.Array,
     """Attention readout of the bank (ref spann3r/model.py:145-183).
 
     feat: (B, P, D) query features.  Returns (fused (B, P, D), state with
-    accumulated attention).  Returns feat unchanged when the bank is empty.
+    accumulated attention).  Streams with empty banks get feat unchanged.
 
     With SPANN3R_PALLAS_MEMREAD=1 (inference, B=1, no dropout) the
     masked-softmax + threshold-renorm + attn-stat chain runs as one fused
@@ -81,24 +95,23 @@ def memory_read(norms, state: MemoryState, feat: jax.Array,
     q = layer_norm(norms["norm_q"], feat, ln_eps)
     k = layer_norm(norms["norm_k"], state.k.astype(feat.dtype), ln_eps)
     vv = layer_norm(norms["norm_v"], state.v.astype(feat.dtype), ln_eps)
+    has_mem = (state.size > 0)
 
     if (_use_pallas_memread() and feat.shape[0] == 1
             and dropout_rng is None):
         from ..ops.pallas_memory import memory_read_attention
-        out, attn_slot = memory_read_attention(q, k, vv, state.size,
+        out, attn_slot = memory_read_attention(q, k, vv, state.size[0],
                                                attn_thresh)
         if res:
             out = out + feat
-        has_mem = state.size > 0
-        out = jnp.where(has_mem, out, feat)
-        new_attn = state.attn + jnp.where(has_mem, attn_slot, 0.0)
+        out = jnp.where(has_mem[:, None, None], out, feat)
+        new_attn = state.attn + jnp.where(has_mem[:, None], attn_slot, 0.0)
         return out, state._replace(attn=new_attn)
 
     logits = jnp.einsum("bpc,bxc->bpx", q, k,
                         preferred_element_type=jnp.float32)
     logits = logits / jnp.sqrt(jnp.float32(d))
-    valid = _valid_mask(state)  # (1, C)
-    logits = jnp.where(valid[:, None, :], logits, NEG_INF)
+    logits = jnp.where(_valid_mask(state)[:, None, :], logits, NEG_INF)
     attn = jax.nn.softmax(logits, axis=-1)
 
     if dropout_rng is not None and dropout_rate > 0.0:
@@ -114,9 +127,9 @@ def memory_read(norms, state: MemoryState, feat: jax.Array,
     if res:
         out = out + feat
 
-    has_mem = state.size > 0
-    out = jnp.where(has_mem, out, feat)
-    new_attn = state.attn + jnp.where(has_mem, jnp.sum(attn, axis=-2), 0.0)
+    out = jnp.where(has_mem[:, None, None], out, feat)
+    new_attn = state.attn + jnp.where(has_mem[:, None],
+                                      jnp.sum(attn, axis=-2), 0.0)
     return out, state._replace(attn=new_attn)
 
 
@@ -127,14 +140,18 @@ def _append(state: MemoryState, feat_k: jax.Array, feat_v: jax.Array) -> MemoryS
     valid = _valid_mask(state).astype(jnp.float32)
     count = state.count + valid
     zeros_p = jnp.zeros((state.k.shape[0], p), jnp.float32)
-    start = (jnp.zeros((), jnp.int32), state.size)
+
+    def upd3(buf, new, start):
+        return jax.lax.dynamic_update_slice(buf, new, (start, jnp.int32(0)))
+
+    def upd2(buf, new, start):
+        return jax.lax.dynamic_update_slice(buf, new, (start,))
+
     return state._replace(
-        k=jax.lax.dynamic_update_slice(state.k, feat_k.astype(state.k.dtype),
-                                       (jnp.int32(0), state.size, jnp.int32(0))),
-        v=jax.lax.dynamic_update_slice(state.v, feat_v.astype(state.v.dtype),
-                                       (jnp.int32(0), state.size, jnp.int32(0))),
-        count=jax.lax.dynamic_update_slice(count, zeros_p, start),
-        attn=jax.lax.dynamic_update_slice(state.attn, zeros_p, start),
+        k=jax.vmap(upd3)(state.k, feat_k.astype(state.k.dtype), state.size),
+        v=jax.vmap(upd3)(state.v, feat_v.astype(state.v.dtype), state.size),
+        count=jax.vmap(upd2)(count, zeros_p, state.size),
+        attn=jax.vmap(upd2)(state.attn, zeros_p, state.size),
         size=state.size + p,
     )
 
@@ -146,15 +163,17 @@ def add_mem(state: MemoryState, feat_k: jax.Array, feat_v: jax.Array) -> MemoryS
 
 def check_sim(state: MemoryState, feat_k: jax.Array, num_patches: int,
               work_mem_size: int, sim_thresh: float) -> jax.Array:
-    """Mean-cosine dedup vs working memory (ref model.py:97-118) -> bool ()."""
+    """Mean-cosine dedup vs the working-memory window
+    (ref model.py:97-118) -> per-stream bool (B,)."""
     b, p, d = feat_k.shape
     w_frames = work_mem_size
     w_tokens = w_frames * num_patches
-    # gather the last wm*P valid tokens into a fixed (B, Wf, P, D) window
-    start = state.size - state.wm * num_patches
-    idx = start + jnp.arange(w_tokens, dtype=jnp.int32)
-    idx = jnp.clip(idx, 0, state.k.shape[1] - 1)
-    window = jnp.take(state.k, idx, axis=1).astype(jnp.float32)
+    # gather each stream's last wm*P valid tokens into (B, Wf, P, D)
+    start = state.size - state.wm * num_patches              # (B,)
+    idx = start[:, None] + jnp.arange(w_tokens, dtype=jnp.int32)[None]
+    idx = jnp.clip(idx, 0, state.k.shape[1] - 1)             # (B, W)
+    window = jnp.take_along_axis(state.k, idx[:, :, None],
+                                 axis=1).astype(jnp.float32)
     window = window.reshape(b, w_frames, num_patches, d)
 
     fk = feat_k.astype(jnp.float32)
@@ -164,14 +183,15 @@ def check_sim(state: MemoryState, feat_k: jax.Array, num_patches: int,
     mean_corr = jnp.mean(corr, axis=-1)  # (B, Wf)
     # window rows [0, wm) hold the valid working frames (slice starts at
     # size - wm*P); rows beyond wm are clipped junk -> masked out
-    frame_valid = (jnp.arange(w_frames, dtype=jnp.int32) < state.wm)[None]
+    frame_valid = jnp.arange(w_frames, dtype=jnp.int32)[None] < state.wm[:, None]
     mean_corr = jnp.where(frame_valid, mean_corr, NEG_INF)
-    return (state.size > 0) & (jnp.max(mean_corr) > sim_thresh)
+    return (state.size > 0) & (jnp.max(mean_corr, axis=1) > sim_thresh)
 
 
 def memory_prune(state: MemoryState, cfg: MemoryConfig) -> MemoryState:
     """Keep top long_mem_size slots by accumulated-attention/age weight,
-    protecting young slots (ref model.py:185-210)."""
+    protecting young slots (ref model.py:185-210).  Applies to every stream;
+    callers merge per stream."""
     weights = state.attn / jnp.clip(state.count, 1e-8)
     weights = jnp.where(state.count < cfg.prune_protect_age, 1e8, weights)
     weights = jnp.where(_valid_mask(state), weights, NEG_INF)
@@ -190,45 +210,47 @@ def memory_prune(state: MemoryState, cfg: MemoryConfig) -> MemoryState:
     return state._replace(
         k=padded(state.k), v=padded(state.v),
         count=padded(state.count), attn=padded(state.attn),
-        size=jnp.int32(cfg.long_mem_size),
+        size=jnp.full_like(state.size, cfg.long_mem_size),
     )
 
 
 def add_mem_check(state: MemoryState, feat_k: jax.Array, feat_v: jax.Array,
                   cfg: MemoryConfig) -> MemoryState:
-    """Eval-mode write: dedup -> append -> spill -> prune
-    (ref spann3r/model.py:120-143)."""
+    """Eval-mode write: dedup -> append -> spill -> prune, each decided
+    per stream (ref spann3r/model.py:120-143)."""
     p = feat_k.shape[1]
     dup = check_sim(state, feat_k, p, cfg.work_mem_size, cfg.sim_thresh)
 
-    def do_add(s: MemoryState) -> MemoryState:
-        s = _append(s, feat_k, feat_v)
-        s = s._replace(wm=s.wm + 1)
-        spill = s.wm > cfg.work_mem_size
-        if cfg.long_mem_size == 0:
-            # pure sliding window (ref spann3r/model.py:131-137): evict the
-            # oldest frame by rolling the bank left by one frame's tokens
-            def evict(s2: MemoryState) -> MemoryState:
-                roll = lambda a: jnp.roll(a, -p, axis=1)
-                return s2._replace(
-                    k=roll(s2.k), v=roll(s2.v), count=roll(s2.count),
-                    attn=roll(s2.attn), size=s2.size - p, wm=s2.wm - 1)
+    s = _append(state, feat_k, feat_v)
+    s = s._replace(wm=s.wm + 1)
+    spill = s.wm > cfg.work_mem_size
 
-            return jax.lax.cond(spill, evict, lambda x: x, s)
+    if cfg.long_mem_size == 0:
+        # pure sliding window (ref spann3r/model.py:131-137): evict the
+        # oldest frame by rolling the bank left by one frame's tokens
+        def roll(a):
+            return jnp.roll(a, -p, axis=1) if a.ndim >= 2 else a
+
+        evicted = MemoryState(roll(s.k), roll(s.v), roll(s.count),
+                              roll(s.attn), s.size - p, s.wm - 1, s.lm)
+        s = _per_stream_select(spill, evicted, s)
+    else:
         # working -> long-term spill (counter-only; the bank is contiguous)
         s = s._replace(
             wm=jnp.where(spill, s.wm - 1, s.wm),
             lm=jnp.where(spill, s.lm + p, s.lm),
         )
-        # prune when long-term exceeds its budget; statically unreachable when
-        # the bank can never exceed long_mem_size (e.g. short training clips)
-        if cfg.long_mem_size >= s.k.shape[1]:
-            return s
+        # prune streams whose long-term exceeds the budget; statically
+        # unreachable when the bank can never grow past long_mem_size
+        if cfg.long_mem_size < s.k.shape[1]:
+            need = s.lm > cfg.long_mem_size
 
-        def prune(s2: MemoryState) -> MemoryState:
-            s3 = memory_prune(s2, cfg)
-            return s3._replace(lm=jnp.int32(cfg.long_mem_size) - s3.wm * p)
+            def prune(s2: MemoryState) -> MemoryState:
+                s3 = memory_prune(s2, cfg)
+                s3 = s3._replace(lm=jnp.full_like(s3.lm, cfg.long_mem_size)
+                                 - s3.wm * p)
+                return _per_stream_select(need, s3, s2)
 
-        return jax.lax.cond(s.lm > cfg.long_mem_size, prune, lambda x: x, s)
+            s = jax.lax.cond(jnp.any(need), prune, lambda x: x, s)
 
-    return jax.lax.cond(dup, lambda s: s, do_add, state)
+    return _per_stream_select(dup, state, s)

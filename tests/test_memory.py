@@ -62,7 +62,7 @@ def test_read_write_parity_no_prune(rng):
                                     attn_thresh=0.0)
         np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=2e-4, atol=2e-4)
 
-    n = int(state.size)
+    n = int(state.size[0])
     np.testing.assert_allclose(np.asarray(state.attn[:, :n]),
                                ref.mem_attn[..., 0].detach().numpy(), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(state.count[:, :n]),
@@ -89,10 +89,10 @@ def test_add_mem_check_dedup_and_spill(rng):
         ref.add_mem_check(torch.from_numpy(ks[t]), torch.from_numpy(vs[t]))
         state = M.add_mem_check(state, jnp.asarray(ks[t]), jnp.asarray(vs[t]),
                                 cfg)
-        assert int(state.size) == ref.mem_k.shape[1], f"size diverged at t={t}"
-        assert int(state.wm) == ref.wm and int(state.lm) == ref.lm
+        assert int(state.size[0]) == ref.mem_k.shape[1], f"size diverged at t={t}"
+        assert int(state.wm[0]) == ref.wm and int(state.lm[0]) == ref.lm
 
-    n = int(state.size)
+    n = int(state.size[0])
     np.testing.assert_allclose(np.asarray(state.k[:, :n]), ref.mem_k.detach().numpy(),
                                rtol=1e-5, atol=1e-6)
 
@@ -126,8 +126,8 @@ def test_prune_parity(rng):
         ref.add_mem_check(torch.from_numpy(ks[t]), torch.from_numpy(vs[t]))
         state = M.add_mem_check(state, jnp.asarray(ks[t]), jnp.asarray(vs[t]), cfg)
 
-        assert int(state.size) == ref.mem_k.shape[1], f"size diverged at t={t}"
-        n = int(state.size)
+        assert int(state.size[0]) == ref.mem_k.shape[1], f"size diverged at t={t}"
+        n = int(state.size[0])
         # torch.topk returns TIES (protected slots, all weight 1e8) in
         # arbitrary heap order; lax.top_k is stable (chronological). The kept
         # SET is the semantic contract — compare banks as sorted row-sets.
@@ -139,6 +139,45 @@ def test_prune_parity(rng):
         np.testing.assert_allclose(np.sort(np.asarray(state.count[0, :n])),
                                    np.sort(ref.mem_count[:, :, 0].detach().numpy()[0]),
                                    rtol=1e-6)
+
+
+def test_multi_stream_independent_decisions(rng):
+    """B=2 streams with diverging dedup decisions must match two separate
+    B=1 runs exactly (per-stream counters)."""
+    cfg = MemoryConfig(long_mem_size=4 * P, work_mem_size=2, attn_thresh=5e-4,
+                       sim_thresh=0.95, prune_protect_age=2)
+    frames_a = [rng.standard_normal((1, P, D)).astype(np.float32)
+                for _ in range(8)]
+    frames_b = [rng.standard_normal((1, P, D)).astype(np.float32)
+                for _ in range(8)]
+    # stream A gets a near-duplicate at t=3 (deduped), stream B does not
+    frames_a[3] = frames_a[2] + 1e-5
+
+    norms = _norms()
+    joint = M.init_memory(2, 128, D, dtype=jnp.float32)
+    solo_a = M.init_memory(1, 128, D, dtype=jnp.float32)
+    solo_b = M.init_memory(1, 128, D, dtype=jnp.float32)
+    for t in range(8):
+        fa, fb = jnp.asarray(frames_a[t]), jnp.asarray(frames_b[t])
+        fj = jnp.concatenate([fa, fb])
+        _, joint = M.memory_read(norms, joint, fj, attn_thresh=cfg.attn_thresh)
+        joint = M.add_mem_check(joint, fj, fj, cfg)
+        _, solo_a = M.memory_read(norms, solo_a, fa, attn_thresh=cfg.attn_thresh)
+        solo_a = M.add_mem_check(solo_a, fa, fa, cfg)
+        _, solo_b = M.memory_read(norms, solo_b, fb, attn_thresh=cfg.attn_thresh)
+        solo_b = M.add_mem_check(solo_b, fb, fb, cfg)
+
+    assert int(joint.size[0]) == int(solo_a.size[0])
+    assert int(joint.size[1]) == int(solo_b.size[0])
+    assert int(joint.size[0]) != int(joint.size[1])  # decisions diverged
+    for sel, solo in ((0, solo_a), (1, solo_b)):
+        n = int(solo.size[0])
+        np.testing.assert_allclose(np.asarray(joint.k[sel, :n]),
+                                   np.asarray(solo.k[0, :n]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(joint.attn[sel, :n]),
+                                   np.asarray(solo.attn[0, :n]),
+                                   rtol=1e-4, atol=1e-5)
 
 
 def test_memory_ops_jit_and_scan():
@@ -159,4 +198,4 @@ def test_memory_ops_jit_and_scan():
         k = jax.random.normal(jax.random.fold_in(key, t), (B, P, D))
         state, out = step(state, (k, k))
         assert bool(jnp.isfinite(out).all())
-    assert int(state.size) <= 128
+    assert int(state.size[0]) <= 128

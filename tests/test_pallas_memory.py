@@ -48,7 +48,7 @@ def test_kernel_matches_reference_path(rng, attn_thresh):
     kn = layer_norm(norms["norm_k"], state.k)
     vn = layer_norm(norms["norm_v"], state.v)
     out, asum = pallas_memory.memory_read_attention(
-        qn, kn, vn, state.size, attn_thresh, block_c=128)
+        qn, kn, vn, state.size[0], attn_thresh, block_c=128)
     out = out + q  # residual handled by the caller
 
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
@@ -67,11 +67,11 @@ def test_kernel_respects_validity_mask(rng):
     qn = layer_norm(norms["norm_q"], q)
     kn = layer_norm(norms["norm_k"], state.k)
     vn = layer_norm(norms["norm_v"], state.v)
-    _, asum = pallas_memory.memory_read_attention(qn, kn, vn, state.size,
+    _, asum = pallas_memory.memory_read_attention(qn, kn, vn, state.size[0],
                                                   0.0, block_c=128)
     asum = np.asarray(asum)[0]
-    assert np.all(asum[int(state.size):] == 0)
-    np.testing.assert_allclose(asum[:int(state.size)].sum(), P, rtol=1e-4)
+    assert np.all(asum[int(state.size[0]):] == 0)
+    np.testing.assert_allclose(asum[:int(state.size[0])].sum(), P, rtol=1e-4)
 
 
 def test_env_flag_dispatch(rng, monkeypatch):

@@ -33,7 +33,7 @@ def test_sliding_window_memory_matches_reference(rng):
         k = rng.standard_normal((1, p, d)).astype(np.float32)
         ref.add_mem_check(torch.from_numpy(k), torch.from_numpy(k))
         state = M.add_mem_check(state, jnp.asarray(k), jnp.asarray(k), cfg)
-        n = int(state.size)
+        n = int(state.size[0])
         assert n == ref.mem_k.shape[1], f"size diverged at t={t}"
         np.testing.assert_allclose(np.asarray(state.k[:, :n]),
                                    ref.mem_k.detach().numpy(),
