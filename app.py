@@ -39,8 +39,8 @@ def reconstruct(video_path: str, conf_thresh: float = 1e-3, kf_every: int = 1,
     dataset = Demo(ROOT=frames_dir, resolution=resolution, full_video=True,
                    kf_every=kf_every)
     batch = collate_views([dataset[0]])
-    engine = sp.InferenceEngine(params, cfg, batch["img"].shape[2:4], prec)
-    preds = engine.run(batch["img"])
+    from spann3r_tpu.api import reconstruct_video
+    preds, _, _ = reconstruct_video(params, cfg, batch["img"], prec)
 
     pts, cols = [], []
     for j, pr in enumerate(preds):
