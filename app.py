@@ -26,7 +26,6 @@ def reconstruct(video_path: str, conf_thresh: float = 1e-3, kf_every: int = 1,
     import numpy as np
     from spann3r_tpu.datasets import Demo
     from spann3r_tpu.datasets.loader import collate_views
-    from spann3r_tpu.models import spann3r as sp
     from spann3r_tpu.utils.export import write_glb_pointcloud
 
     import demo as demo_cli
