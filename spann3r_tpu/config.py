@@ -66,10 +66,17 @@ class MemoryConfig:
     work_mem_size: int = 5
     attn_thresh: float = 5e-4
     sim_thresh: float = 0.95
-    # age (in frames) below which slots are protected from pruning
-    # (ref: spann3r/model.py:188 — work_mem_size + 5)
-    prune_protect_age: int = 10
+    # age (in frames) below which slots are protected from pruning;
+    # None derives work_mem_size + 5 (the reference's hard-coded rule,
+    # spann3r/model.py:188)
+    prune_protect_age: Optional[int] = None
     mem_dropout: float = 0.15
+
+    @property
+    def protect_age(self) -> int:
+        if self.prune_protect_age is not None:
+            return self.prune_protect_age
+        return self.work_mem_size + 5
 
     def capacity(self, num_patches: int) -> int:
         """Static token capacity of the bank.

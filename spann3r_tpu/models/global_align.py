@@ -8,7 +8,10 @@ agrees with one global point cloud — the reference's PointCloudOptimizer
 
 TPU-first: all per-image and per-edge states are stacked arrays, the whole
 alignment energy is ONE jitted Adam step (the reference loops per edge in
-python), and the MST pose initialization runs host-side with Kabsch fits.
+python); pose initialization chains centroid offsets along a max-confidence
+spanning tree host-side (a coarse init Adam refines — the pairwise output
+lacks cam-j-frame pointmaps, so a full Kabsch relative pose is not
+computable from it).
 
 Loss (ref base_opt.forward): for each edge e=(i,j)
     loss_e = mean(w_i * |P_i - s_e T_e pred_i|) + mean(w_j * |P_j - s_e T_e pred_j|)
@@ -149,15 +152,25 @@ class GlobalAligner:
                     pose[i] = pose[j] @ m
                     visited.add(i)
                     changed = True
+        # rebase so image 0 is the identity — the optimizer gauge-fixes
+        # rot[0]=I, tr[0]=0, so the init must be expressed in image-0's frame
+        base_inv = np.linalg.inv(pose.get(0, np.eye(4)))
         for i in range(n):
-            m = pose.get(i, np.eye(4))
+            m = base_inv @ pose.get(i, np.eye(4))
             quats[i] = rot_to_quat(m[:3, :3])
             trans[i] = m[:3, 3]
         return quats, trans
 
     # ---------------- energy ----------------
 
-    def _loss(self, params) -> jax.Array:
+    def _data(self):
+        """Edge tensors as jit ARGUMENTS (not trace-time constants, which
+        would bake hundreds of MB of predictions into the executable)."""
+        return {"pi": jnp.asarray(self.pred_i), "pj": jnp.asarray(self.pred_j),
+                "wi": jnp.log(jnp.asarray(self.conf_i)),
+                "wj": jnp.log(jnp.asarray(self.conf_j))}
+
+    def _loss(self, params, data) -> jax.Array:
         n = self.n_imgs
         pp = jnp.tile(jnp.asarray([[self.w / 2, self.h / 2]], jnp.float32),
                       (n, 1))
@@ -177,10 +190,7 @@ class GlobalAligner:
         e_rot = quat_to_rot(params["pw_quat"]) * scale[:, None, None]
         e_tr = params["pw_trans"]
 
-        pi = jnp.asarray(self.pred_i)
-        pj = jnp.asarray(self.pred_j)
-        wi = jnp.log(jnp.asarray(self.conf_i))
-        wj = jnp.log(jnp.asarray(self.conf_j))
+        pi, pj, wi, wj = data["pi"], data["pj"], data["wi"], data["wj"]
         ali = jnp.einsum("eab,ehwb->ehwa", e_rot, pi) + e_tr[:, None, None]
         alj = jnp.einsum("eab,ehwb->ehwa", e_rot, pj) + e_tr[:, None, None]
 
@@ -202,16 +212,17 @@ class GlobalAligner:
         sched = optax.cosine_decay_schedule(lr, niter, alpha=1e-3)
         opt = optax.adam(sched, b1=0.9, b2=0.9)
         state = opt.init(self.params)
+        data = self._data()
 
         @jax.jit
-        def step(params, state):
-            loss, grads = jax.value_and_grad(self._loss)(params)
+        def step(params, state, data):
+            loss, grads = jax.value_and_grad(self._loss)(params, data)
             updates, state = opt.update(grads, state)
             return optax.apply_updates(params, updates), state, loss
 
         loss = None
         for it in range(niter):
-            self.params, state, loss = step(self.params, state)
+            self.params, state, loss = step(self.params, state, data)
             if verbose and it % 50 == 0:
                 print(f"align iter {it}: loss {float(loss):.5f}")
         return float(loss)

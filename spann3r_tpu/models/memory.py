@@ -34,7 +34,10 @@ NEG_INF = -1e30
 
 class MemoryState(NamedTuple):
     """Token bank. Per stream b, slots [0, size[b]) are valid; order matches
-    the reference's append/prune ordering so working memory is the suffix."""
+    the reference's append/prune ordering: the working memory is the bank
+    suffix UNTIL the first prune, after which top_k places protected slots
+    first (the reference's topk gather has the identical reordering quirk,
+    spann3r/model.py:193-200 — check_sim behaves the same in both)."""
     k: jax.Array        # (B, C, D) keys
     v: jax.Array        # (B, C, D) values
     count: jax.Array    # (B, C) age of each slot in frames
@@ -97,8 +100,10 @@ def memory_read(norms, state: MemoryState, feat: jax.Array,
     vv = layer_norm(norms["norm_v"], state.v.astype(feat.dtype), ln_eps)
     has_mem = (state.size > 0)
 
+    # the Pallas kernel has no VJP; attn_thresh > 0 statically excludes the
+    # (differentiable) training path, which always uses attn_thresh=0
     if (_use_pallas_memread() and feat.shape[0] == 1
-            and dropout_rng is None):
+            and dropout_rng is None and attn_thresh > 0):
         from ..ops.pallas_memory import memory_read_attention
         out, attn_slot = memory_read_attention(q, k, vv, state.size[0],
                                                attn_thresh)
@@ -193,7 +198,7 @@ def memory_prune(state: MemoryState, cfg: MemoryConfig) -> MemoryState:
     protecting young slots (ref model.py:185-210).  Applies to every stream;
     callers merge per stream."""
     weights = state.attn / jnp.clip(state.count, 1e-8)
-    weights = jnp.where(state.count < cfg.prune_protect_age, 1e8, weights)
+    weights = jnp.where(state.count < cfg.protect_age, 1e8, weights)
     weights = jnp.where(_valid_mask(state), weights, NEG_INF)
     _, idx = jax.lax.top_k(weights, cfg.long_mem_size)  # (B, K) stable ties
     gather = lambda arr: jnp.take_along_axis(
@@ -219,7 +224,10 @@ def add_mem_check(state: MemoryState, feat_k: jax.Array, feat_v: jax.Array,
     """Eval-mode write: dedup -> append -> spill -> prune, each decided
     per stream (ref spann3r/model.py:120-143)."""
     p = feat_k.shape[1]
-    dup = check_sim(state, feat_k, p, cfg.work_mem_size, cfg.sim_thresh)
+    if cfg.sim_thresh >= 1.0:  # dedup disabled (ref model.py:99 early-return)
+        dup = jnp.zeros((feat_k.shape[0],), bool)
+    else:
+        dup = check_sim(state, feat_k, p, cfg.work_mem_size, cfg.sim_thresh)
 
     s = _append(state, feat_k, feat_v)
     s = s._replace(wm=s.wm + 1)

@@ -55,7 +55,7 @@ def _make_scene(rng):
 def test_global_alignment_converges(rng):
     output, world = _make_scene(rng)
     aligner = global_aligner(output)
-    l0 = float(aligner._loss(aligner.params))
+    l0 = float(aligner._loss(aligner.params, aligner._data()))
     loss = aligner.optimize(niter=400, lr=0.02)
     assert loss < l0 * 0.1, f"alignment failed to converge: {l0} -> {loss}"
 

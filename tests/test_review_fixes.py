@@ -77,6 +77,29 @@ def test_mixed_orientation_pair(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_reconstruct_video_multi_stream(rng):
+    """B=2 streams through the shared API: per-stream preds, offline guard."""
+    from spann3r_tpu.api import reconstruct_video
+
+    cfg = Spann3RConfig(
+        dust3r=DUSt3RConfig(img_size=(32, 32), patch_size=16,
+                            enc=ViTConfig(dim=64, depth=2, num_heads=4),
+                            dec=ViTConfig(dim=48, depth=12, num_heads=4),
+                            head_type="linear"),
+        value_enc_depth=2, value_enc_dim=64, value_enc_heads=4,
+        attn_head_in=64 + 48, attn_head_out=64)
+    params = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
+    frames = rng.standard_normal((4, 2, 32, 32, 3)).astype(np.float32) * 0.3
+
+    preds, order, fps = reconstruct_video(params, cfg, frames, FP32, chunk=2)
+    assert len(preds) == 4 and order == [0, 1, 2, 3]
+    assert preds[0]["pts3d"].shape == (2, 32, 32, 3)  # both streams
+    assert np.isfinite(preds[-1]["pts3d_in_other_view"]).all()
+
+    with pytest.raises(ValueError):
+        reconstruct_video(params, cfg, frames, FP32, offline=True)
+
+
 def test_run_video_single_frame_returns_empty(rng):
     cfg = Spann3RConfig(
         dust3r=DUSt3RConfig(img_size=(32, 32), patch_size=16,
