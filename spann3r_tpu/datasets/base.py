@@ -312,3 +312,53 @@ class BaseManyViewDataset(BaseViewDataset):
         if not full_video:
             return self.sample_frames(img_idxs, rng)
         return img_idxs[::self.kf_every]
+
+    # ------------------------------------------------------------------
+    # shared adapter machinery: every dataset adapter is "discover scenes,
+    # list frame ids, load one frame" — the loop, crop/resize, validity
+    # retry and view-dict construction live here once.
+    # ------------------------------------------------------------------
+
+    def resolve_scene_list(self, test_id, discover):
+        """test_id overrides discovery (a single id or a list)."""
+        if test_id is None:
+            return discover()
+        return test_id if isinstance(test_id, list) else [test_id]
+
+    def resample(self, resolution, rng):
+        """Jump to a random other item (bad scene/frame recovery)."""
+        return self._get_views(int(rng.integers(0, len(self) - 1)),
+                               resolution, rng)
+
+    def load_views(self, frame_ids, load_frame, resolution, rng,
+                   dataset_name, idx, attempts=0, allow_skip=None):
+        """Drive the per-frame loop for an adapter.
+
+        load_frame(fid) -> (rgb, depthmap, pose, intrinsics, label, instance)
+        or None to force a scene resample.  Frames with no valid depth or a
+        non-finite pose are skipped in full-video mode and retried (then
+        resampled) otherwise — the reference's recovery policy.
+        """
+        if allow_skip is None:
+            allow_skip = self.full_video
+        views = []
+        for fid in frame_ids:
+            item = load_frame(fid)
+            if item is None:
+                return self.resample(resolution, rng)
+            rgb, depthmap, pose, intrinsics, label, instance = item
+            rgb, depthmap, intrinsics = self._crop_resize_if_necessary(
+                rgb, depthmap, intrinsics, resolution, rng=rng, info=label)
+            if (depthmap > 0.0).sum() == 0 or not np.isfinite(pose).all():
+                if allow_skip:
+                    print(f"Warning: no valid depth for {label}")
+                    continue
+                if attempts >= 5:
+                    return self.resample(resolution, rng)
+                return self._get_views(idx, resolution, rng,
+                                       attempts=attempts + 1)
+            views.append(dict(img=rgb, depthmap=depthmap, camera_pose=pose,
+                              camera_intrinsics=intrinsics,
+                              dataset=dataset_name, label=label,
+                              instance=instance))
+        return views

@@ -1,14 +1,21 @@
-"""Images-only demo dataset (ref spann3r/datasets/demo.py:11-98)."""
+"""Images-only demo dataset (contract from spann3r/datasets/demo.py:11-98).
+
+Loads any folder of jpg/png/heic frames; optional <stem>.npz metadata
+(camera_pose / camera_intrinsics / maximum_depth) and <stem>_depth.png
+16-bit depth.  Without metadata, pseudo-intrinsics (f=1, centered pp) and
+identity poses make the pipeline run end-to-end.
+"""
 from __future__ import annotations
 
 import os
 import os.path as osp
-from collections import deque
 
 import numpy as np
 
 from ..utils.image import imread_cv2
 from .base import BaseManyViewDataset
+
+EXTS = (".jpg", ".jpeg", ".png", ".heic")
 
 
 class Demo(BaseManyViewDataset):
@@ -26,54 +33,50 @@ class Demo(BaseManyViewDataset):
     def __len__(self):
         return self.num_seq
 
-    def _get_views(self, idx, resolution, rng):
-        exts = (".jpg", ".jpeg", ".png", ".heic")
+    def _list_frames(self):
         names = [n for n in sorted(os.listdir(self.ROOT))
-                 if n.lower().endswith(exts) and "depth" not in n.lower()]
+                 if n.lower().endswith(EXTS) and "depth" not in n.lower()]
         if not names:
             raise FileNotFoundError(
-                f"no images ({'/'.join(exts)}) found in {self.ROOT}")
-        names = self.sample_frame_idx(names, rng, full_video=self.full_video)
+                f"no images ({'/'.join(EXTS)}) found in {self.ROOT}")
+        return names
 
-        views = []
-        for name in deque(names):
-            impath = osp.join(self.ROOT, name)
-            if impath.lower().endswith(".heic"):
-                import PIL.Image
-                rgb_image = np.array(PIL.Image.open(impath).convert("RGB"))
+    @staticmethod
+    def _read_rgb(path):
+        if path.lower().endswith(".heic"):
+            import PIL.Image
+            return np.array(PIL.Image.open(path).convert("RGB"))
+        return imread_cv2(path)
+
+    def _get_views(self, idx, resolution, rng):
+        import cv2
+
+        names = self.sample_frame_idx(self._list_frames(), rng,
+                                      full_video=self.full_video)
+
+        def load_frame(name):
+            path = osp.join(self.ROOT, name)
+            rgb = self._read_rgb(path)
+            stem = path.rsplit(".", 1)[0]
+
+            meta = np.load(stem + ".npz") if osp.exists(stem + ".npz") else None
+            if meta is not None:
+                pose = meta["camera_pose"].astype(np.float32)
+                k = meta["camera_intrinsics"].astype(np.float32)
             else:
-                rgb_image = imread_cv2(impath)
+                pose = np.eye(4, dtype=np.float32)
+                k = np.array([[1.0, 0, rgb.shape[1] // 2],
+                              [0, 1.0, rgb.shape[0] // 2],
+                              [0, 0, 1]], dtype=np.float32)
 
-            stem = impath.rsplit(".", 1)[0]
-            depth_path = stem + "_depth.png"
-            meta_path = stem + ".npz"
-            meta = None
-            if osp.exists(meta_path):
-                meta = np.load(meta_path)
-                camera_pose = meta["camera_pose"].astype(np.float32)
-                intrinsics = meta["camera_intrinsics"].astype(np.float32)
-            else:
-                cx, cy = rgb_image.shape[1] // 2, rgb_image.shape[0] // 2
-                intrinsics = np.array([[1.0, 0, cx], [0, 1.0, cy], [0, 0, 1]],
-                                      dtype=np.float32)
-                camera_pose = np.eye(4, dtype=np.float32)
-
-            if osp.exists(depth_path):
-                import cv2
-                depthmap = imread_cv2(depth_path, cv2.IMREAD_UNCHANGED)
-                depthmap = (depthmap.astype(np.float32) / 65535) * \
+            if osp.exists(stem + "_depth.png"):
+                depth = imread_cv2(stem + "_depth.png", cv2.IMREAD_UNCHANGED)
+                depth = (depth.astype(np.float32) / 65535) * \
                     np.nan_to_num(meta["maximum_depth"])
             else:
-                depthmap = np.ones(rgb_image.shape[:2], dtype=np.float32)
+                depth = np.ones(rgb.shape[:2], dtype=np.float32)
+            rgb = cv2.resize(rgb, (depth.shape[1], depth.shape[0]))
+            return rgb, depth, pose, k, path, name
 
-            import cv2
-            rgb_image = cv2.resize(rgb_image, (depthmap.shape[1], depthmap.shape[0]))
-            rgb_image, depthmap, intrinsics = self._crop_resize_if_necessary(
-                rgb_image, depthmap, intrinsics, resolution, rng=rng, info=impath)
-
-            views.append(dict(img=rgb_image, depthmap=depthmap,
-                              camera_pose=camera_pose,
-                              camera_intrinsics=intrinsics,
-                              dataset="demo", label=impath,
-                              instance=osp.split(impath)[1]))
-        return views
+        return self.load_views(names, load_frame, resolution, rng,
+                               "demo", idx, allow_skip=False)
