@@ -1,9 +1,14 @@
-"""ARKitScenes dataset (ref spann3r/datasets/arkit.py)."""
+"""ARKitScenes dataset (format contract from spann3r/datasets/arkit.py).
+
+Layout: <ROOT>/raw/<Training|Validation>/<video>/{lowres_wide/,<...>_depth/,
+lowres_wide_intrinsics/*.pincam, lowres_wide.traj}.  Trajectory lines are
+`timestamp axis-angle(3) translation(3)` world->cam, inverted, with the
+ARKit axis swizzle + gl->cv conversion applied afterwards.
+"""
 from __future__ import annotations
 
 import os
 import os.path as osp
-from collections import deque
 
 import numpy as np
 
@@ -12,19 +17,15 @@ from .base import BaseManyViewDataset
 
 
 def traj_string_to_matrix(traj_string: str):
-    """.traj line -> (timestamp, cam2world-ish Rt) (ref arkit.py:92-117):
-    axis-angle + translation world->cam, inverted."""
+    """.traj line -> (timestamp, inverted extrinsic) (ref arkit.py:92-117)."""
     import cv2
     tokens = traj_string.split()
     assert len(tokens) == 7
-    ts = tokens[0]
-    angle_axis = np.asarray([float(tokens[1]), float(tokens[2]), float(tokens[3])])
-    r_w_to_p, _ = cv2.Rodrigues(angle_axis)
-    t_w_to_p = np.asarray([float(tokens[4]), float(tokens[5]), float(tokens[6])])
+    rot, _ = cv2.Rodrigues(np.asarray([float(t) for t in tokens[1:4]]))
     ext = np.eye(4)
-    ext[:3, :3] = r_w_to_p
-    ext[:3, -1] = t_w_to_p
-    return ts, np.linalg.inv(ext)
+    ext[:3, :3] = rot
+    ext[:3, 3] = [float(t) for t in tokens[4:7]]
+    return tokens[0], np.linalg.inv(ext)
 
 
 class ArkitScene(BaseManyViewDataset):
@@ -36,114 +37,87 @@ class ArkitScene(BaseManyViewDataset):
         self.num_frames = num_frames
         self.max_thresh = max_thresh
         self.min_thresh = min_thresh
-        self.test_id = test_id
         self.full_video = full_video
         self.kf_every = kf_every
-        self.load_all_scenes(ROOT)
+        if test_id is None:
+            sub = {"train": "Training", "val": "Validation"}[self.split]
+            self.scene_path = osp.join(ROOT, "raw", sub)
+            self.scene_list = os.listdir(self.scene_path)
+        else:
+            self.scene_path = ROOT
+            self.scene_list = self.resolve_scene_list(test_id, list)
 
     def __len__(self):
         return len(self.scene_list) * self.num_seq
 
-    def load_all_scenes(self, base_dir):
-        if self.test_id is None:
-            sub = {"train": "Training", "val": "Validation"}[self.split]
-            self.scene_path = osp.join(base_dir, "raw", sub)
-            self.scene_list = os.listdir(self.scene_path)
-        else:
-            self.scene_path = base_dir
-            self.scene_list = (self.test_id if isinstance(self.test_id, list)
-                               else [self.test_id])
+    def _intrinsics(self, intr_dir, frame_id, video_id):
+        """Nerfstudio-style .pincam lookup with +-1ms timestamp slop
+        (ref arkit.py:57-71)."""
+        for stamp in (frame_id, f"{float(frame_id) - 0.001:.3f}",
+                      f"{float(frame_id) + 0.001:.3f}"):
+            fn = osp.join(intr_dir, f"{video_id}_{stamp}.pincam")
+            if osp.exists(fn):
+                _, _, fx, fy, hw, hh = np.loadtxt(fn)
+                return np.asarray([[fx, 0, hw], [0, fy, hh], [0, 0, 1]],
+                                  dtype=np.float32)
+        return None
 
-    def get_intrinsic(self, intrinsics_dir, frame_id, video_id):
-        fn = osp.join(intrinsics_dir, f"{video_id}_{frame_id}.pincam")
-        if not osp.exists(fn):
-            fn = osp.join(intrinsics_dir,
-                          f"{video_id}_{float(frame_id) - 0.001:.3f}.pincam")
-        if not osp.exists(fn):
-            fn = osp.join(intrinsics_dir,
-                          f"{video_id}_{float(frame_id) + 0.001:.3f}.pincam")
-        _, _, fx, fy, hw, hh = np.loadtxt(fn)
-        return np.asarray([[fx, 0, hw], [0, fy, hh], [0, 0, 1]])
-
-    def get_pose(self, frame_id, poses_from_traj):
-        pose = None
-        if str(frame_id) in poses_from_traj:
-            pose = np.array(poses_from_traj[str(frame_id)])
-        else:
-            for key in poses_from_traj:
+    @staticmethod
+    def _pose_at(frame_id, traj):
+        """Timestamped pose lookup with 0.1s slop + ARKit axis swizzle
+        (ref arkit.py:73-90)."""
+        pose = traj.get(str(frame_id))
+        if pose is None:
+            for key, val in traj.items():
                 if abs(float(frame_id) - float(key)) < 0.1:
-                    pose = np.array(poses_from_traj[str(key)])
+                    pose = val
+                    break
         if pose is None:
             return None
-        # ARKit axis swizzle (ref arkit.py:86-90)
+        pose = np.array(pose)
         pose[0:3, 1:3] *= -1
         pose = pose[np.array([1, 0, 2, 3]), :]
         pose[2, :] *= -1
+        pose = pose.astype(np.float32)
+        pose[:, 1:3] *= -1.0  # gl -> cv
         return pose
 
     def _get_views(self, idx, resolution, rng, attempts=0):
+        import cv2
+
         scene_id = self.scene_list[idx // self.num_seq]
+        root = osp.join(self.scene_path, scene_id)
+        img_dir = osp.join(root, "lowres_wide")
+        depth_dir = osp.join(root, "lowres_depth")
+        intr_dir = osp.join(root, "lowres_wide_intrinsics")
+        traj_path = osp.join(root, "lowres_wide.traj")
 
-        image_path = osp.join(self.scene_path, scene_id, "lowres_wide")
-        depth_path = osp.join(self.scene_path, scene_id, "lowres_depth")
-        intrinsics_path = osp.join(self.scene_path, scene_id,
-                                   "lowres_wide_intrinsics")
-        pose_path = osp.join(self.scene_path, scene_id, "lowres_wide.traj")
+        if not all(map(osp.exists, (img_dir, depth_dir, intr_dir, traj_path))):
+            return self.resample(resolution, rng)
+        stamps = [x.split(".png")[0].split("_")[1]
+                  for x in sorted(os.listdir(depth_dir))]
+        if len(stamps) < self.num_frames:
+            return self.resample(resolution, rng)
+        frame_ids = self.sample_frame_idx(stamps, rng,
+                                          full_video=self.full_video)
 
-        if not all(map(osp.exists, (image_path, depth_path, intrinsics_path,
-                                    pose_path))):
-            return self._get_views(int(rng.integers(0, len(self) - 1)),
-                                   resolution, rng)
+        traj = {}
+        for line in open(traj_path, encoding="utf-8"):
+            ts, mat = traj_string_to_matrix(line)
+            traj[f"{round(float(ts), 3):.3f}"] = np.array(mat.tolist())
 
-        ids = [x.split(".png")[0].split("_")[1]
-               for x in sorted(os.listdir(depth_path))]
-        if len(ids) < self.num_frames:
-            return self._get_views(int(rng.integers(0, len(self) - 1)),
-                                   resolution, rng)
-        img_idxs = self.sample_frame_idx(ids, rng, full_video=self.full_video)
+        def load_frame(fid):
+            impath = osp.join(img_dir, f"{scene_id}_{fid}.png")
+            dpath = osp.join(depth_dir, f"{scene_id}_{fid}.png")
+            pose = self._pose_at(fid, traj)
+            k = self._intrinsics(intr_dir, fid, scene_id)
+            if pose is None or k is None or not osp.exists(impath) \
+                    or not osp.exists(dpath):
+                return None  # missing asset -> resample
+            rgb = imread_cv2(impath)
+            depth = imread_cv2(dpath, cv2.IMREAD_UNCHANGED)
+            depth = np.nan_to_num(depth.astype(np.float32), 0.0) / 1000.0
+            return rgb, depth, pose, k, osp.join(scene_id, fid), f"{scene_id}_{fid}.png"
 
-        poses_from_traj = {}
-        with open(pose_path, encoding="utf-8") as f:
-            for line in f.readlines():
-                key = f"{round(float(line.split(' ')[0]), 3):.3f}"
-                poses_from_traj[key] = np.array(
-                    traj_string_to_matrix(line)[1].tolist())
-
-        views = []
-        for im_idx in deque(img_idxs):
-            impath = osp.join(image_path, f"{scene_id}_{im_idx}.png")
-            depthpath = osp.join(depth_path, f"{scene_id}_{im_idx}.png")
-            camera_pose = self.get_pose(im_idx, poses_from_traj)
-            if not osp.exists(impath) or not osp.exists(depthpath) \
-                    or camera_pose is None:
-                return self._get_views(int(rng.integers(0, len(self) - 1)),
-                                       resolution, rng)
-
-            import cv2
-            intrinsics_ = self.get_intrinsic(intrinsics_path, im_idx,
-                                             scene_id).astype(np.float32)
-            rgb_image = imread_cv2(impath)
-            depthmap = imread_cv2(depthpath, cv2.IMREAD_UNCHANGED)
-            depthmap = np.nan_to_num(depthmap.astype(np.float32), 0.0) / 1000.0
-
-            camera_pose = camera_pose.astype(np.float32)
-            camera_pose[:, 1:3] *= -1.0  # gl -> cv
-
-            rgb_image, depthmap, intrinsics = self._crop_resize_if_necessary(
-                rgb_image, depthmap, intrinsics_, resolution, rng=rng, info=impath)
-
-            if (depthmap > 0.0).sum() == 0 or not np.isfinite(camera_pose).all():
-                if self.full_video:
-                    continue
-                if attempts >= 5:
-                    return self._get_views(int(rng.integers(0, len(self) - 1)),
-                                           resolution, rng)
-                return self._get_views(idx, resolution, rng, attempts + 1)
-
-            views.append(dict(img=rgb_image, depthmap=depthmap,
-                              camera_pose=camera_pose,
-                              camera_intrinsics=intrinsics,
-                              dataset="arkit",
-                              label=osp.join(scene_id, im_idx),
-                              instance=osp.split(impath)[1]))
-        return views
+        return self.load_views(frame_ids, load_frame, resolution, rng,
+                               "arkit", idx, attempts)
