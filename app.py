@@ -11,7 +11,16 @@ import tempfile
 
 
 def extract_frames(video_path: str, fps: int = 1) -> str:
-    """ffmpeg video -> frames dir (ref app.py:26-36)."""
+    """ffmpeg video -> frames dir (ref app.py:26-36).
+
+    A directory input is passed through untouched (frames already
+    extracted), so the app also works where ffmpeg is unavailable."""
+    if osp.isdir(video_path):
+        return video_path
+    import shutil
+    if shutil.which("ffmpeg") is None:
+        raise SystemExit("ffmpeg is not installed; pass a directory of "
+                         "frames instead of a video file")
     temp_dir = tempfile.mkdtemp()
     output_path = osp.join(temp_dir, "%03d.jpg")
     subprocess.run(["ffmpeg", "-i", video_path, "-vf", f"fps={fps}",
