@@ -35,7 +35,7 @@ def test_unprojection_pinhole_identity(rng):
     cam, valid = depthmap_to_camera_coordinates(depth, k)
     assert valid.all()
     np.testing.assert_allclose(cam[4, 5], [0, 0, 2.0])  # principal point ray
-    np.testing.assert_allclose(cam[4, 6], [0.8, 0, 2.0])  # 1px right: z/f*1
+    np.testing.assert_allclose(cam[4, 6], [0.4, 0, 2.0])  # 1px right: z/f = 0.4
 
 
 def test_intrinsics_convention_roundtrip():
