@@ -33,6 +33,25 @@ def _add_reference_paths():
 _add_reference_paths()
 
 
+def _pin_repo_modules():
+    """Top-level names like `demo` also exist in the reference's croco dir
+    (appended to sys.path above); pin OUR modules in sys.modules so import
+    order inside tests can never pick up the reference's."""
+    import importlib.util
+
+    for name in ("demo", "eval", "app", "train"):
+        path = os.path.join(REPO, f"{name}.py")
+        if name in sys.modules or not os.path.exists(path):
+            continue
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+
+
+_pin_repo_modules()
+
+
 @pytest.fixture(scope="session")
 def rng():
     import numpy as np
