@@ -76,6 +76,8 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="tensor-parallel axis size of the device mesh")
     p.add_argument("--bf16", default=1, type=int)
     p.add_argument("--remat", default=1, type=int)
+    p.add_argument("--profile_dir", default=None, type=str,
+                   help="write a jax.profiler trace of the first train steps")
     return p
 
 
@@ -381,6 +383,8 @@ def train(args) -> None:
         # ---- one epoch ----
         from .utils.metrics import MetricLogger
         logger = MetricLogger()
+        if args.profile_dir and epoch == start_epoch:
+            jax.profiler.start_trace(args.profile_dir)
         for it, batch in enumerate(loader):
             epoch_f = epoch + it / steps_per_epoch
             lr = lr_at(epoch_f, args.lr, args.min_lr, args.warmup_epochs,
@@ -417,6 +421,8 @@ def train(args) -> None:
 
         # cross-host metric sync + epoch summary (ref misc.py:119-121,
         # training.py:257-259 "Averaged stats")
+        if args.profile_dir and epoch == start_epoch:
+            jax.profiler.stop_trace()
         logger.synchronize_between_processes()
         print(f"E{epoch} averaged stats: {logger}")
 

@@ -74,6 +74,35 @@ def test_kernel_respects_validity_mask(rng):
     np.testing.assert_allclose(asum[:int(state.size[0])].sum(), P, rtol=1e-4)
 
 
+def test_kernel_inside_video_scan(rng, monkeypatch):
+    """Chunked video scan with the kernel enabled == kernel disabled."""
+    import jax
+    from spann3r_tpu.config import (DUSt3RConfig, FP32, Spann3RConfig,
+                                    ViTConfig)
+    from spann3r_tpu.models import spann3r as sp
+
+    cfg = Spann3RConfig(
+        dust3r=DUSt3RConfig(img_size=(32, 32), patch_size=16,
+                            enc=ViTConfig(dim=64, depth=2, num_heads=4),
+                            dec=ViTConfig(dim=48, depth=12, num_heads=4),
+                            head_type="linear"),
+        value_enc_depth=2, value_enc_dim=64, value_enc_heads=4,
+        attn_head_in=64 + 48, attn_head_out=64)
+    params = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
+    frames = rng.standard_normal((4, 1, 32, 32, 3)).astype(np.float32) * 0.3
+
+    monkeypatch.setenv("SPANN3R_PALLAS_MEMREAD", "1")
+    engine = sp.InferenceEngine(params, cfg, (32, 32), FP32)
+    preds_pl = engine.run_video(frames, chunk=2)
+    monkeypatch.delenv("SPANN3R_PALLAS_MEMREAD")
+    engine2 = sp.InferenceEngine(params, cfg, (32, 32), FP32)
+    preds_ref = engine2.run_video(frames, chunk=2)
+    for a, b in zip(preds_pl, preds_ref):
+        for k in a:
+            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                       rtol=5e-4, atol=5e-4)
+
+
 def test_env_flag_dispatch(rng, monkeypatch):
     """memory_read routes through the kernel when the env flag is set."""
     monkeypatch.setenv("SPANN3R_PALLAS_MEMREAD", "1")
