@@ -1,0 +1,125 @@
+"""CroCo masked cross-view completion pretraining (ref croco/models/croco.py).
+
+The foundation capability under DUSt3R: mask most of image 1, encode its
+visible patches, cross-attend a decoder over the full image 2, and regress
+the masked RGB patches (MaskedMSE, ref croco/models/criterion.py).
+
+TPU-first: RandomMask keeps an EXACT masked count (argsort-of-noise, ref
+croco/models/masking.py:12-25), so the visible token count is static —
+visible tokens are gathered into a fixed (B, N_vis, D) tensor and the
+decoder scatters them back over learned mask tokens, all under one jit with
+no dynamic shapes.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import BF16, DUSt3RConfig, Precision
+from ..ops.layers import init_layer_norm, init_linear, layer_norm, linear
+from .vit import (encoder_apply, init_block_stack, init_decoder_block_stack,
+                  init_patch_embed, patch_embed_apply, dual_decoder_apply,
+                  decoder_block_apply)
+
+
+def init_croco(key, cfg: DUSt3RConfig, dtype=jnp.float32):
+    """CroCoNet params: shared encoder, single cross-attending decoder,
+    mask token + linear RGB prediction head (ref croco.py:39-108)."""
+    keys = jax.random.split(key, 8)
+    ps = cfg.patch_size
+    return {
+        "patch_embed": init_patch_embed(keys[0], ps, 3, cfg.enc.dim, dtype),
+        "enc_blocks": init_block_stack(keys[1], cfg.enc, dtype),
+        "enc_norm": init_layer_norm(cfg.enc.dim, dtype),
+        "decoder_embed": init_linear(keys[2], cfg.enc.dim, cfg.dec.dim, dtype=dtype),
+        "dec_blocks": init_decoder_block_stack(keys[3], cfg.dec, dtype),
+        "dec_norm": init_layer_norm(cfg.dec.dim, dtype),
+        "mask_token": jax.random.normal(keys[4], (1, 1, cfg.dec.dim), dtype) * 0.02,
+        "prediction_head": init_linear(keys[5], cfg.dec.dim, ps * ps * 3, dtype=dtype),
+    }
+
+
+def random_mask(rng: jax.Array, batch: int, num_patches: int,
+                mask_ratio: float) -> jax.Array:
+    """(B, N) bool, exactly int(ratio*N) True per row (ref masking.py:12-25)."""
+    num_mask = int(mask_ratio * num_patches)
+    noise = jax.random.uniform(rng, (batch, num_patches))
+    return jnp.argsort(jnp.argsort(noise, axis=1), axis=1) < num_mask
+
+
+def patchify(imgs: jax.Array, patch_size: int) -> jax.Array:
+    """(B, H, W, 3) -> (B, N, ps*ps*3) in the reference's channel-last
+    per-patch layout (ref croco.py:203-216)."""
+    b, h, w, c = imgs.shape
+    p = patch_size
+    x = imgs.reshape(b, h // p, p, w // p, p, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, (h // p) * (w // p), p * p * c)
+
+
+def croco_forward(params, img1: jax.Array, img2: jax.Array, mask: jax.Array,
+                  cfg: DUSt3RConfig, mask_ratio: float = 0.9,
+                  prec: Precision = BF16
+                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Masked cross-view completion (ref croco.py:231-249).
+
+    img1/img2: (B, H, W, 3); mask: (B, N) bool from random_mask(mask_ratio)
+    — exactly int(mask_ratio*N) masked per row, so the visible width is
+    static.  Returns (pred (B, N, ps²·3), mask, target); the loss selects
+    the masked patches.
+    """
+    b, h, w, _ = img1.shape
+    n_patches = int(mask.shape[1])
+    n_vis = n_patches - int(mask_ratio * n_patches)  # static
+
+    # encode visible patches of img1 (gathered to a fixed width)
+    x1, pos = patch_embed_apply(params["patch_embed"],
+                                img1.astype(prec.compute_dtype), cfg.patch_size)
+    order = jnp.argsort(mask, axis=1)          # False (visible) first, stable
+    vis_idx = order[:, :n_vis]                  # (B, N_vis)
+    x1_vis = jnp.take_along_axis(x1, vis_idx[..., None], axis=1)
+    pos_vis = jnp.take_along_axis(pos, vis_idx[..., None], axis=1)
+    f1 = encoder_apply(params["enc_blocks"], x1_vis, pos_vis, cfg.enc)
+    f1 = layer_norm(params["enc_norm"], f1, cfg.enc.ln_eps)
+
+    # encode img2 fully
+    x2, pos2 = patch_embed_apply(params["patch_embed"],
+                                 img2.astype(prec.compute_dtype), cfg.patch_size)
+    f2 = encoder_apply(params["enc_blocks"], x2, pos2, cfg.enc)
+    f2 = layer_norm(params["enc_norm"], f2, cfg.enc.ln_eps)
+
+    # decoder: scatter visible tokens over mask tokens (ref croco.py:166-201)
+    d1_vis = linear(params["decoder_embed"], f1)
+    d2 = linear(params["decoder_embed"], f2)
+    full = jnp.broadcast_to(params["mask_token"].astype(d1_vis.dtype),
+                            (b, mask.shape[1], d1_vis.shape[-1]))
+    d1 = full.at[jnp.arange(b)[:, None], vis_idx].set(d1_vis)
+
+    def body(carry, p):
+        c1, c2 = carry
+        n1 = decoder_block_apply(p, c1, c2, pos, pos2, cfg.dec)
+        return (n1, c2), None
+
+    (out, _), _ = jax.lax.scan(body, (d1, d2), params["dec_blocks"])
+    out = layer_norm(params["dec_norm"], out, cfg.dec.ln_eps)
+
+    pred = linear(params["prediction_head"], out.astype(jnp.float32))
+    target = patchify(img1, cfg.patch_size)
+    return pred, mask, target
+
+
+def masked_mse(pred: jax.Array, mask: jax.Array, target: jax.Array,
+               norm_pix_loss: bool = False, masked: bool = True) -> jax.Array:
+    """MaskedMSE (ref croco/models/criterion.py:14-36)."""
+    target = target.astype(jnp.float32)
+    if norm_pix_loss:
+        mean = jnp.mean(target, axis=-1, keepdims=True)
+        var = jnp.var(target, axis=-1, keepdims=True)
+        target = (target - mean) / jnp.sqrt(var + 1e-6)
+    loss = jnp.mean(jnp.square(pred - target), axis=-1)  # (B, N)
+    if masked:
+        m = mask.astype(loss.dtype)
+        return jnp.sum(loss * m) / jnp.clip(jnp.sum(m), 1e-8)
+    return jnp.mean(loss)
