@@ -90,6 +90,27 @@ def init_decoder_block_stack(key, cfg: ViTConfig, dtype=jnp.float32):
 # stacked-scan encoders/decoders
 # ---------------------------------------------------------------------------
 
+def _remat_policy():
+    """Checkpoint policy for block rematerialization.
+
+    SPANN3R_REMAT_POLICY=dots keeps matmul outputs resident (recompute only
+    the cheap elementwise chain on the backward pass); default recomputes
+    everything (minimum memory)."""
+    import os
+    if os.environ.get("SPANN3R_REMAT_POLICY") == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    return None
+
+
+def _maybe_remat(body, remat: bool):
+    if not remat:
+        return body
+    pol = _remat_policy()
+    if pol is None:
+        return jax.checkpoint(body)
+    return jax.checkpoint(body, policy=pol)
+
+
 def encoder_apply(stacked, x: jax.Array, pos: Optional[jax.Array],
                   cfg: ViTConfig, remat: bool = False) -> jax.Array:
     """Run a stack of Blocks via lax.scan over the depth axis."""
@@ -97,8 +118,7 @@ def encoder_apply(stacked, x: jax.Array, pos: Optional[jax.Array],
         out = block_apply(p, carry, pos, cfg)
         return out, None
 
-    if remat:
-        body = jax.checkpoint(body)
+    body = _maybe_remat(body, remat)
     x, _ = jax.lax.scan(body, x, stacked)
     return x
 
@@ -119,8 +139,7 @@ def dual_decoder_apply(stacked1, stacked2, f1: jax.Array, f2: jax.Array,
         n2 = decoder_block_apply(p2, c2, c1, pos2, pos1, cfg)
         return (n1, n2), (n1, n2)
 
-    if remat:
-        body = jax.checkpoint(body)
+    body = _maybe_remat(body, remat)
     _, (ys1, ys2) = jax.lax.scan(body, (f1, f2), (stacked1, stacked2))
     return ys1, ys2
 
