@@ -138,6 +138,10 @@ def main(args):
 
         for i in range(len(dataset)):
             views = dataset[i]
+            if len(views) < 2:
+                print(f"Skipping {name} scene {i}: only {len(views)} "
+                      f"keyframe(s) at this kf_every")
+                continue
             batch = collate_views([views])
             print(f"Started reconstruction for {name} {i + 1}/{len(dataset)}")
             pts, gts, masks, colors, fps, _, _ = evaluate_scene(
