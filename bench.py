@@ -11,7 +11,6 @@ pre-filled to a realistic working+long-term occupancy.
 """
 import argparse
 import json
-import sys
 import time
 
 import numpy as np

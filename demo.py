@@ -8,7 +8,6 @@ import argparse
 import json
 import os
 import os.path as osp
-import time
 
 import numpy as np
 

@@ -5,7 +5,6 @@ masked metrics)."""
 import argparse
 import os
 import os.path as osp
-import time
 
 import numpy as np
 

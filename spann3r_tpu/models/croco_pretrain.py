@@ -12,16 +12,16 @@ no dynamic shapes.
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..config import BF16, DUSt3RConfig, Precision
 from ..ops.layers import init_layer_norm, init_linear, layer_norm, linear
-from .vit import (encoder_apply, init_block_stack, init_decoder_block_stack,
-                  init_patch_embed, patch_embed_apply, dual_decoder_apply,
-                  decoder_block_apply)
+from .vit import (decoder_block_apply, encoder_apply, init_block_stack,
+                  init_decoder_block_stack, init_patch_embed,
+                  patch_embed_apply)
 
 
 def init_croco(key, cfg: DUSt3RConfig, dtype=jnp.float32):

@@ -10,7 +10,7 @@ sequential loop encodes every frame exactly once, batched over time).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

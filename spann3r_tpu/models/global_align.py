@@ -20,7 +20,7 @@ w = log(conf).  Per-edge scales are normalized to mean-log 0.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

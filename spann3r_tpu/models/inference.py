@@ -10,7 +10,7 @@ frames are encoded once (dict-cached) rather than per-pair.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

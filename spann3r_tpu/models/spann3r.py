@@ -27,9 +27,7 @@ import jax.numpy as jnp
 from ..config import BF16, Precision, Spann3RConfig, ViTConfig
 from ..ops.layers import gelu, init_layer_norm, init_linear, layer_norm, linear
 from . import dust3r as d3
-from .heads import postprocess
-from .memory import (MemoryState, add_mem, add_mem_check, init_memory,
-                     memory_read)
+from .memory import add_mem, add_mem_check, init_memory, memory_read
 from .vit import (encoder_apply, init_block_stack, init_patch_embed,
                   patch_embed_apply)
 

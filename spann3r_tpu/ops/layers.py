@@ -12,8 +12,6 @@ MXU accumulates in fp32 even when activations are bf16.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -7,8 +7,6 @@ and `estimate_normals`.  Same contract: correspondences within
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 from scipy.spatial import cKDTree as KDTree
 

@@ -16,7 +16,6 @@ Checkpointing via orbax: last/best/periodic + auto-resume (training.py:377-405).
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import functools
 import json
 import math
@@ -257,7 +256,7 @@ def train(args) -> None:
     os.makedirs(args.output_dir, exist_ok=True)
 
     prec = BF16 if args.bf16 else Precision(compute_dtype=jnp.float32)
-    from .config import DUSt3RConfig, ViTConfig
+    from .config import DUSt3RConfig
     cfg = Spann3RConfig(dust3r=DUSt3RConfig(
         img_size=(args.resolution, args.resolution),
         head_type=args.head_type))

@@ -6,7 +6,7 @@ reference dust3r/utils/geometry.py.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
