@@ -173,7 +173,14 @@ def main(args):
                         f"Comp_med: {comp_med}, NC1_med: {nc1_med}, "
                         f"NC2_med: {nc2_med}\n")
 
-        n = len(dataset)
+        # average over the scenes actually evaluated — skipped scenes
+        # (too few keyframes) must not deflate the averages
+        n = len(fps_all)
+        if n == 0:
+            print(f"{name}: no scene had >=2 keyframes; nothing evaluated")
+            with open(log_file, "a") as f:
+                f.write(f"Dataset: {name}, no scenes evaluated\n")
+            continue
         with open(log_file, "a") as f:
             f.write(f"Dataset: {name}, Accuracy: {sums[0] / n}, "
                     f"Completion: {sums[1] / n}, NC1: {sums[2] / n}, "
@@ -182,7 +189,7 @@ def main(args):
                     f"NC2_med: {sums[7] / n}\n")
             f.write(f"Average fps: {np.mean(fps_all)}\n")
         print(f"{name}: acc={sums[0] / n:.4f} comp={sums[1] / n:.4f} "
-              f"fps={np.mean(fps_all):.2f}")
+              f"fps={np.mean(fps_all):.2f} ({n}/{len(dataset)} scenes)")
 
 
 if __name__ == "__main__":

@@ -57,14 +57,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def param_sharding(mesh: Mesh, params):
+def param_sharding(mesh: Mesh, params, min_dim: int = 1024):
     """Shard large 2-D+ weights over the 'model' axis (last dim), replicate
-    the rest.  With model=1 this is full replication (pure DP)."""
+    the rest.  With model=1 this is full replication (pure DP).  `min_dim`
+    sets the smallest last-dim worth sharding (lower it to shard more; tests
+    use small values so tiny models still exercise the tp path)."""
     model_n = mesh.shape["model"]
 
     def spec(x):
         if model_n > 1 and x.ndim >= 2 and x.shape[-1] % model_n == 0 \
-                and x.shape[-1] >= 1024:
+                and x.shape[-1] >= min_dim:
             return NamedSharding(mesh, P(*([None] * (x.ndim - 1) + ["model"])))
         return NamedSharding(mesh, P())
 

@@ -73,6 +73,8 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_dir", default="./output/train", type=str)
     p.add_argument("--model_axis", default=1, type=int,
                    help="tensor-parallel axis size of the device mesh")
+    p.add_argument("--tp_min_dim", default=1024, type=int,
+                   help="smallest weight last-dim sharded over 'model'")
     p.add_argument("--bf16", default=1, type=int)
     p.add_argument("--remat", default=1, type=int)
     p.add_argument("--profile_dir", default=None, type=str,
@@ -127,8 +129,13 @@ def make_optimizer(weight_decay: float) -> optax.GradientTransformation:
 
 
 def make_train_step(cfg: Spann3RConfig, prec: Precision, opt, remat: bool = True,
-                    fix_first: bool = False):
-    """Returns jitted train_step(params, opt_state, batch, rng, lr, alpha)."""
+                    fix_first: bool = False, param_shardings=None):
+    """Returns jitted train_step(params, opt_state, batch, rng, lr, alpha).
+
+    `param_shardings` (a pytree of NamedSharding matching params) pins the
+    updated params back onto the ('data','model') mesh layout so tensor-
+    parallel weight shards stay put across steps (the reference's scaling
+    analogue is DDP, spann3r/training.py:322-325; tp is TPU-native extra)."""
 
     def loss_fn(params, batch, rng, alpha):
         frames = jnp.transpose(batch["img"], (1, 0, 2, 3, 4))  # (B,T,H,W,3)
@@ -150,6 +157,8 @@ def make_train_step(cfg: Spann3RConfig, prec: Precision, opt, remat: bool = True
         updates, opt_state = opt.update(grads, opt_state, params)
         updates = jax.tree.map(lambda u: -lr * u, updates)  # lr injection
         params = optax.apply_updates(params, updates)
+        if param_shardings is not None:
+            params = jax.lax.with_sharding_constraint(params, param_shardings)
         metrics = dict(details, loss=loss, grad_norm=gnorm)
         return params, opt_state, metrics
 
@@ -158,10 +167,10 @@ def make_train_step(cfg: Spann3RConfig, prec: Precision, opt, remat: bool = True
 
 def make_accum_train_step(cfg: Spann3RConfig, prec: Precision, opt,
                           accum_iter: int, remat: bool = True,
-                          fix_first: bool = False):
+                          fix_first: bool = False, param_shardings=None):
     """Gradient-accumulation variant (ref training.py:226-231 accum_iter):
     grad_step accumulates scaled grads; apply_step runs the optimizer."""
-    base = make_train_step(cfg, prec, opt, remat, fix_first)
+    base = make_train_step(cfg, prec, opt, remat, fix_first, param_shardings)
     if accum_iter <= 1:
         return base, None, None
 
@@ -188,6 +197,8 @@ def make_accum_train_step(cfg: Spann3RConfig, prec: Precision, opt,
         updates, opt_state = opt.update(grad_acc, opt_state, params)
         updates = jax.tree.map(lambda u: -lr * u, updates)
         params = optax.apply_updates(params, updates)
+        if param_shardings is not None:
+            params = jax.lax.with_sharding_constraint(params, param_shardings)
         zeros = jax.tree.map(jnp.zeros_like, updates)
         return params, opt_state, zeros, gnorm
 
@@ -205,7 +216,9 @@ def make_eval_step(cfg: Spann3RConfig, prec: Precision, alpha: float = 0.4):
                "camera_pose": batch["camera_pose"]}
         loss, details, _ = losses.conf_loss_t(gts, preds, alpha=alpha,
                                               norm_mode=True)
-        return loss, details
+        # preds returned for eval-time PLY dumps; device->host transfer only
+        # happens if the caller actually materializes them
+        return loss, details, preds
 
     return eval_step
 
@@ -249,7 +262,7 @@ class CheckpointManager:
 # driver
 # ---------------------------------------------------------------------------
 
-def train(args) -> None:
+def train(args) -> Dict[str, Any]:
     pmesh.init_distributed()
     rank = jax.process_index()
     world = jax.process_count()
@@ -286,15 +299,20 @@ def train(args) -> None:
         if "pos_patch_embed" in params:
             params["pos_patch_embed"] = jax.tree.map(
                 lambda x: x, params["dust3r"]["patch_embed"])
+    opt = make_optimizer(args.weight_decay)
+
     if args.pretrained:
         if args.pretrained.endswith(".pth"):
             from .utils.torch_ckpt import load_spann3r_checkpoint
             params = load_spann3r_checkpoint(args.pretrained, cfg)
         elif os.path.isdir(args.pretrained):
+            # warm start = params only; the optimizer restarts fresh
+            # (ref croco misc.load_model: model.load_state_dict, then a new
+            # optimizer unless --resume)
             import orbax.checkpoint as ocp
             restored = ocp.StandardCheckpointer().restore(
                 os.path.abspath(args.pretrained),
-                {"params": params, "opt_state": opt_state,
+                {"params": params, "opt_state": opt.init(params),
                  "epoch": np.array(0, np.int32),
                  "best": np.array(np.inf, np.float32)})
             params = restored["params"]
@@ -304,7 +322,17 @@ def train(args) -> None:
                 f"--pretrained {args.pretrained}: expected a .pth file or an "
                 f"orbax checkpoint directory")
 
-    opt = make_optimizer(args.weight_decay)
+    # tensor-parallel layout: shard the big weights over 'model', replicate
+    # the rest; opt.init on sharded params inherits the same layout
+    param_shardings = pmesh.param_sharding(mesh, params,
+                                           min_dim=args.tp_min_dim)
+    params = jax.tree.map(jax.device_put, params, param_shardings)
+    if args.model_axis > 1:
+        from jax.sharding import PartitionSpec
+        n_sharded = sum(jax.tree.leaves(jax.tree.map(
+            lambda sh: sh.spec != PartitionSpec(), param_shardings)))
+        print(f"tensor-parallel: {n_sharded} weight tensors sharded over "
+              f"model axis {args.model_axis}")
     opt_state = opt.init(params)
 
     ckpt = CheckpointManager(args.output_dir)
@@ -313,7 +341,8 @@ def train(args) -> None:
                                      "epoch": np.array(0, np.int32),
                                      "best": np.array(np.inf, np.float32)})
     if restored is not None:
-        params = restored["params"]
+        params = jax.tree.map(jax.device_put, restored["params"],
+                              param_shardings)
         opt_state = restored["opt_state"]
         start_epoch = int(restored["epoch"]) + 1
         best_so_far = float(restored["best"])
@@ -324,10 +353,14 @@ def train(args) -> None:
         args.lr = args.blr * eff_batch / 256
 
     train_step, grad_step, apply_step = make_accum_train_step(
-        cfg, prec, opt, args.accum_iter, remat=bool(args.remat))
+        cfg, prec, opt, args.accum_iter, remat=bool(args.remat),
+        param_shardings=param_shardings)
     eval_step = make_eval_step(cfg, prec)
     grad_acc = (jax.tree.map(jnp.zeros_like, params)
                 if args.accum_iter > 1 else None)
+
+    if rank == 0:
+        snapshot_sources(args.output_dir)
 
     writer = None
     if rank == 0:
@@ -347,8 +380,9 @@ def train(args) -> None:
         test_stats = {}
         if epoch > 0 and args.eval_freq > 0 and epoch % args.eval_freq == 0:
             for name, tds in test_dss.items():
-                test_stats[name] = test_one_epoch(eval_step, params, tds,
-                                                  args.batch_size_test)
+                test_stats[name] = test_one_epoch(
+                    eval_step, params, tds, args.batch_size_test,
+                    output_dir=args.output_dir, epoch=epoch)
                 med = test_stats[name].get("loss_med", float("inf"))
                 if med < best_so_far:
                     best_so_far = med
@@ -403,10 +437,16 @@ def train(args) -> None:
                     params, opt_state, sharded, step_rng,
                     jnp.float32(lr), jnp.float32(alpha))
 
+            # finiteness check EVERY step (ref training.py:222-224 aborts on
+            # the very iteration the loss goes non-finite, before the next
+            # optimizer update can poison params further)
+            loss_f = float(metrics["loss"])
+            if not math.isfinite(loss_f):
+                raise RuntimeError(
+                    f"non-finite loss {loss_f} at epoch {epoch_f:.3f} it {it}")
+
             if it % args.print_freq == 0:
                 m = {k: float(v) for k, v in metrics.items()}
-                if not math.isfinite(m["loss"]):
-                    raise RuntimeError(f"non-finite loss at {epoch_f}: {m}")
                 logger.update(loss=m["loss"], grad_norm=m["grad_norm"], lr=lr)
                 print(f"E{epoch} it{it}/{steps_per_epoch} "
                       f"loss={m['loss']:.4f} lr={lr:.2e} "
@@ -426,16 +466,78 @@ def train(args) -> None:
         print(f"E{epoch} averaged stats: {logger}")
 
     print(f"Training done in {time.time() - t0:.0f}s")
+    # final state returned for callers/tests; the CLI ignores it
+    return {"params": params, "opt_state": opt_state,
+            "param_shardings": param_shardings, "best": best_so_far}
 
 
-def test_one_epoch(eval_step, params, dataset, batch_size: int) -> Dict[str, float]:
-    """Seeded held-out eval tracking mean + median loss, all-reduced across
-    hosts (ref training.py:94-168, misc.py:45-56)."""
+def snapshot_sources(output_dir: str) -> None:
+    """Copy the package + entry scripts into output/recording/ so every run
+    records the exact code it trained with (ref spann3r/training.py:360-371,
+    which snapshots croco/dust3r/spann3r sources + the launch script)."""
+    import shutil
+    rec = os.path.join(output_dir, "recording")
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    repo_root = os.path.dirname(pkg_root)
+    dst_pkg = os.path.join(rec, "spann3r_tpu")
+    if os.path.exists(dst_pkg):
+        shutil.rmtree(dst_pkg)
+    shutil.copytree(pkg_root, dst_pkg,
+                    ignore=shutil.ignore_patterns("__pycache__", "*.so",
+                                                  "*.pyc", "build"))
+    for script in ("train.py", "demo.py", "eval.py", "app.py", "bench.py"):
+        src = os.path.join(repo_root, script)
+        if os.path.exists(src):
+            shutil.copy2(src, os.path.join(rec, script))
+
+
+def _dump_eval_plys(out_dir: str, epoch: int, batch, preds, start_idx: int,
+                    max_ply: int) -> int:
+    """Write per-sequence predicted pointmaps as colored PLYs for eyeballing
+    (ref spann3r/training.py:126-149 dumps the first ~100 eval recons).
+    Returns how many were written."""
+    from .utils.export import write_ply
+    # target-frame predictions cover frames 1..T-1 in frame-0 coords
+    pts = np.asarray(preds["pts3d_2"], np.float32)   # (T-1,B,H,W,3)
+    conf = np.asarray(preds["conf_2"], np.float32)   # (T-1,B,H,W)
+    imgs = np.asarray(batch["img"], np.float32)[1:]  # (T-1,B,H,W,3) in [-1,1]
+    b = pts.shape[1]
+    written = 0
+    for j in range(b):
+        idx = start_idx + j
+        if idx >= max_ply:
+            break
+        keep = (conf[:, j] > 1.001).reshape(-1)
+        p = pts[:, j].reshape(-1, 3)[keep]
+        c = (imgs[:, j].reshape(-1, 3)[keep] + 1.0) / 2.0
+        write_ply(os.path.join(out_dir, f"epoch{epoch:03d}_{idx:03d}.ply"),
+                  p, c)
+        written += 1
+    return written
+
+
+def test_one_epoch(eval_step, params, dataset, batch_size: int,
+                   output_dir: Optional[str] = None, epoch: int = 0,
+                   max_ply: int = 10) -> Dict[str, float]:
+    """Seeded held-out eval tracking mean + median loss plus per-detail loss
+    meters, all-reduced across hosts; optionally dumps the first `max_ply`
+    reconstructions as PLYs (ref training.py:94-168, misc.py:45-56)."""
     loader = DataLoader(dataset, batch_size, num_workers=1)
     losses_all = []
+    detail_sums: Dict[str, float] = {}
+    ply_dir = None
+    if output_dir is not None and jax.process_index() == 0 and max_ply > 0:
+        ply_dir = os.path.join(output_dir, "eval_ply")
+        os.makedirs(ply_dir, exist_ok=True)
+    n_ply = 0
     for batch in loader:
-        loss, _ = eval_step(params, batch)
+        loss, details, preds = eval_step(params, batch)
         losses_all.append(float(loss))
+        for k, v in details.items():
+            detail_sums[k] = detail_sums.get(k, 0.0) + float(v)
+        if ply_dir is not None and n_ply < max_ply:
+            n_ply += _dump_eval_plys(ply_dir, epoch, batch, preds, n_ply,
+                                     max_ply)
     if jax.process_count() > 1:
         from jax.experimental.multihost_utils import process_allgather
         pad = np.full(max(1, len(losses_all)), np.nan, np.float32)
@@ -444,5 +546,8 @@ def test_one_epoch(eval_step, params, dataset, batch_size: int) -> Dict[str, flo
         losses_all = gathered[np.isfinite(gathered)].tolist()
     if not losses_all:
         return {}
-    return {"loss_avg": float(np.mean(losses_all)),
-            "loss_med": float(np.median(losses_all))}
+    stats = {"loss_avg": float(np.mean(losses_all)),
+             "loss_med": float(np.median(losses_all))}
+    n = max(len(loader), 1)
+    stats.update({k: v / n for k, v in detail_sums.items()})
+    return stats

@@ -1,0 +1,136 @@
+"""Tensor-parallel training end-to-end: training.train() with --model_axis 2
+on the 8-virtual-device CPU mesh, orbax warm-start (the round-1 NameError
+branch), auto-resume, and a check that weights really are sharded.
+
+Reference scaling analogue: DDP wrap + warm start in spann3r/training.py
+:307-325; tp over the 'model' mesh axis is the TPU-native extra."""
+import json
+import os
+import os.path as osp
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from spann3r_tpu import training as tr
+from spann3r_tpu.config import DUSt3RConfig, Spann3RConfig, ViTConfig
+
+HW = (32, 32)
+
+
+def tiny_cfg():
+    return Spann3RConfig(
+        dust3r=DUSt3RConfig(img_size=HW, patch_size=16,
+                            enc=ViTConfig(dim=64, depth=2, num_heads=4),
+                            dec=ViTConfig(dim=48, depth=12, num_heads=4),
+                            head_type="linear"),
+        value_enc_depth=2, value_enc_dim=64, value_enc_heads=4,
+        attn_head_in=64 + 48, attn_head_out=64)
+
+
+@pytest.fixture(scope="module")
+def seven_scenes_root(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("7s_tp")
+    scene = root / "office" / "seq-01"
+    scene.mkdir(parents=True)
+    (root / "office" / "TestSplit.txt").write_text("sequence1\n")
+    rng = np.random.default_rng(7)
+    for i in range(6):
+        img = (rng.random((480, 640, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(scene / f"frame-{i:06d}.color.png"), img)
+        depth = (rng.random((480, 640)) * 3000 + 500).astype(np.uint16)
+        cv2.imwrite(str(scene / f"frame-{i:06d}.depth.proj.png"), depth)
+        pose = np.eye(4)
+        pose[:3, 3] = [i * 0.05, 0, 0]
+        np.savetxt(str(scene / f"frame-{i:06d}.pose.txt"), pose)
+    return str(root)
+
+
+def make_args(seven_scenes_root, output_dir):
+    args = tr.get_args_parser().parse_args([])
+    args.resolution = 32
+    args.head_type = "linear"
+    args.num_frames = 3
+    args.batch_size = 4          # 4 data shards x 2 model shards = 8 devices
+    args.batch_size_test = 1
+    args.epochs = 1
+    args.warmup_epochs = 0
+    args.eval_freq = 0
+    args.save_freq = 1
+    args.keep_freq = 0
+    args.print_freq = 1
+    args.num_workers = 1
+    args.bf16 = 0
+    args.model_axis = 2
+    args.tp_min_dim = 32         # tiny model: shard 32+-wide weights
+    args.output_dir = output_dir
+    args.train_dataset = (
+        f"4 @ SevenScenes(split='test', ROOT='{seven_scenes_root}', "
+        f"resolution=32, num_frames=3, min_thresh=1, max_thresh=2)")
+    args.test_dataset = None
+    return args
+
+
+def n_model_sharded(shardings):
+    return sum(jax.tree.leaves(jax.tree.map(
+        lambda sh: sh.spec != P(), shardings)))
+
+
+def test_tp_train_warmstart_resume(seven_scenes_root, tmp_path, monkeypatch):
+    monkeypatch.setattr(tr, "Spann3RConfig", lambda **kw: tiny_cfg())
+
+    # --- run 1: fresh tp training, writes checkpoint-last ---
+    args1 = make_args(seven_scenes_root, str(tmp_path / "run1"))
+    out1 = tr.train(args1)
+    assert n_model_sharded(out1["param_shardings"]) > 0
+    # params live on the mesh with the tp layout actually applied
+    sharded = [(p, s) for p, s in zip(jax.tree.leaves(out1["params"]),
+                                      jax.tree.leaves(out1["param_shardings"]))
+               if s.spec != P()]
+    assert sharded
+    for leaf, sh in sharded[:5]:
+        assert leaf.sharding.is_equivalent_to(sh, leaf.ndim)
+    ckpt1 = osp.join(args1.output_dir, "checkpoints", "checkpoint-last")
+    assert osp.isdir(ckpt1)
+    # source snapshot recorded (ref training.py:360-371)
+    assert osp.isdir(osp.join(args1.output_dir, "recording", "spann3r_tpu"))
+
+    # --- run 2: warm-start from run 1's orbax dir (round-1 crash branch) ---
+    args2 = make_args(seven_scenes_root, str(tmp_path / "run2"))
+    args2.pretrained = ckpt1
+    out2 = tr.train(args2)
+    w1 = np.asarray(jax.tree.leaves(out1["params"])[0])
+    # warm-start actually loaded run-1 weights: run 2 started FROM them, so
+    # after one epoch they differ from run 1's but not wildly
+    w2 = np.asarray(jax.tree.leaves(out2["params"])[0])
+    assert w1.shape == w2.shape
+
+    # --- run 3: auto-resume run 2 (restore + immediate finish) ---
+    out3 = tr.train(args2)
+    assert n_model_sharded(out3["param_shardings"]) > 0
+
+
+def test_warmstart_loads_exact_params(seven_scenes_root, tmp_path, monkeypatch):
+    """The orbax --pretrained branch restores the checkpointed params
+    verbatim (epoch counter untouched)."""
+    monkeypatch.setattr(tr, "Spann3RConfig", lambda **kw: tiny_cfg())
+
+    args1 = make_args(seven_scenes_root, str(tmp_path / "a"))
+    args1.model_axis = 1
+    out1 = tr.train(args1)
+    ckpt1 = osp.join(args1.output_dir, "checkpoints", "checkpoint-last")
+
+    # epochs=0: train() sets up, warm-starts, writes log, never steps
+    args2 = make_args(seven_scenes_root, str(tmp_path / "b"))
+    args2.model_axis = 1
+    args2.epochs = 0
+    args2.pretrained = ckpt1
+    out2 = tr.train(args2)
+
+    a = jax.tree.leaves(out1["params"])
+    b = jax.tree.leaves(out2["params"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
