@@ -29,13 +29,17 @@ def extract_frames(video_path: str, fps: int = 1) -> str:
 
 
 def reconstruct(video_path: str, conf_thresh: float = 1e-3, kf_every: int = 1,
+                as_pointcloud: bool = False,
                 ckpt_path: str = "./checkpoints/spann3r.pth",
                 resolution: int = 224, out_dir: str = "./output/app"):
-    """video -> conf-masked colored pointcloud GLB (ref app.py:110-171)."""
+    """video -> conf-masked colored GLB: per-pixel triangle mesh by default,
+    pointcloud with as_pointcloud=True (ref app.py:110-171, same default)."""
     import numpy as np
     from spann3r_tpu.datasets import Demo
     from spann3r_tpu.datasets.loader import collate_views
-    from spann3r_tpu.utils.export import write_glb_pointcloud
+    from spann3r_tpu.utils.export import (cat_meshes, pts3d_to_mesh,
+                                          write_glb_mesh,
+                                          write_glb_pointcloud)
 
     import demo as demo_cli
     args = demo_cli.get_args_parser().parse_args([])
@@ -50,17 +54,31 @@ def reconstruct(video_path: str, conf_thresh: float = 1e-3, kf_every: int = 1,
     from spann3r_tpu.api import reconstruct_video
     preds, _, _ = reconstruct_video(params, cfg, batch["img"], prec)
 
-    pts, cols = [], []
+    # viewer orientation: ref app.py:166-168 applies inv(OPENGL @ roty180)
+    # to the trimesh scene; for diagonal factors that is diag(-1,-1,1)
+    view_tf = np.diag([-1.0, -1.0, 1.0]).astype(np.float32)
+
+    pts_f, cols_f, masks_f = [], [], []
     for j, pr in enumerate(preds):
         key = "pts3d" if j == 0 else "pts3d_in_other_view"
-        p = np.asarray(pr[key], np.float32)[0]
+        p = np.asarray(pr[key], np.float32)[0] * 10.0  # ref app.py:143 scale
         c = np.asarray(pr["conf"], np.float32)[0]
-        keep = (c - 1.0) / c > conf_thresh
-        pts.append(p[keep])
-        cols.append(((batch["img"][j, 0] + 1.0) / 2.0)[keep])
+        pts_f.append(p @ view_tf.T)
+        cols_f.append((np.asarray(batch["img"][j, 0]) + 1.0) / 2.0)
+        masks_f.append((c - 1.0) / c > conf_thresh)
+
     os.makedirs(out_dir, exist_ok=True)
     glb_path = osp.join(out_dir, "recon.glb")
-    write_glb_pointcloud(glb_path, np.concatenate(pts), np.concatenate(cols))
+    if as_pointcloud:
+        pts = np.concatenate([p[m] for p, m in zip(pts_f, masks_f)])
+        cols = np.concatenate([c[m] for c, m in zip(cols_f, masks_f)])
+        write_glb_pointcloud(glb_path, pts, cols)
+    else:
+        meshes = [pts3d_to_mesh(img, p, valid=m)
+                  for img, p, m in zip(cols_f, pts_f, masks_f)]
+        mesh = cat_meshes(meshes)
+        write_glb_mesh(glb_path, mesh["vertices"], mesh["faces"],
+                       mesh["vertex_colors"])
     return glb_path
 
 
@@ -73,9 +91,11 @@ def launch_ui():
                          "app.reconstruct() directly")
 
     demo_ui = gr.Interface(
-        fn=lambda video, conf, kf: reconstruct(video, conf, int(kf)),
+        fn=lambda video, conf, kf, aspc: reconstruct(video, conf, int(kf),
+                                                     as_pointcloud=aspc),
         inputs=[gr.Video(), gr.Slider(0, 0.1, value=1e-3, label="conf"),
-                gr.Slider(1, 30, value=1, step=1, label="keyframe every")],
+                gr.Slider(1, 30, value=1, step=1, label="keyframe every"),
+                gr.Checkbox(value=False, label="As pointcloud")],
         outputs=gr.Model3D(),
         title="Spann3R-TPU: streaming 3D reconstruction")
     demo_ui.launch()
@@ -87,8 +107,10 @@ if __name__ == "__main__":
                     help="run headless on a video file instead of the UI")
     ap.add_argument("--conf_thresh", type=float, default=1e-3)
     ap.add_argument("--kf_every", type=int, default=1)
+    ap.add_argument("--as_pointcloud", action="store_true")
     a = ap.parse_args()
     if a.video:
-        print(reconstruct(a.video, a.conf_thresh, a.kf_every))
+        print(reconstruct(a.video, a.conf_thresh, a.kf_every,
+                          as_pointcloud=a.as_pointcloud))
     else:
         launch_ui()

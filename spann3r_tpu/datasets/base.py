@@ -28,34 +28,75 @@ def img_norm(image: PIL.Image.Image) -> np.ndarray:
     return (arr - 0.5) / 0.5
 
 
+def adjust_brightness(image: PIL.Image.Image, factor: float) -> PIL.Image.Image:
+    """torchvision F_pil.adjust_brightness (ImageEnhance.Brightness)."""
+    from PIL import ImageEnhance
+    return ImageEnhance.Brightness(image).enhance(factor)
+
+
+def adjust_contrast(image: PIL.Image.Image, factor: float) -> PIL.Image.Image:
+    """torchvision F_pil.adjust_contrast (ImageEnhance.Contrast)."""
+    from PIL import ImageEnhance
+    return ImageEnhance.Contrast(image).enhance(factor)
+
+
+def adjust_saturation(image: PIL.Image.Image, factor: float) -> PIL.Image.Image:
+    """torchvision F_pil.adjust_saturation (ImageEnhance.Color)."""
+    from PIL import ImageEnhance
+    return ImageEnhance.Color(image).enhance(factor)
+
+
+def adjust_hue(image: PIL.Image.Image, factor: float) -> PIL.Image.Image:
+    """torchvision F_pil.adjust_hue: shift the PIL-HSV hue channel by
+    uint8(factor*255) with wraparound, then convert back to RGB."""
+    if not -0.5 <= factor <= 0.5:
+        raise ValueError(f"hue factor {factor} not in [-0.5, 0.5]")
+    h, s, v = image.convert("HSV").split()
+    np_h = np.asarray(h, dtype=np.uint8)
+    # uint8 wraparound add, identical to torchvision F_pil's
+    # `np_h += np.uint8(hue_factor * 255)`: C-style truncation toward zero,
+    # then mod-256 wrap
+    np_h = (np_h.astype(np.int16) + int(factor * 255)) % 256
+    h = PIL.Image.fromarray(np_h.astype(np.uint8), "L")
+    return PIL.Image.merge("HSV", (h, s, v)).convert("RGB")
+
+
 class ColorJitter:
-    """Brightness/contrast/saturation/hue jitter approximating
-    torchvision.ColorJitter(0.5, 0.5, 0.5, 0.1) + ImgNorm
-    (ref dust3r/datasets/utils/transforms.py:11)."""
+    """torchvision.ColorJitter(0.5, 0.5, 0.5, 0.1) + ImgNorm semantics
+    (ref dust3r/datasets/utils/transforms.py:11): factors drawn uniformly,
+    the four adjustments applied in a RANDOM ORDER per call, PIL backend
+    ops — parity-tested against torchvision in tests/test_color_jitter.py."""
 
     def __init__(self, brightness=0.5, contrast=0.5, saturation=0.5, hue=0.1,
                  rng: Optional[np.random.Generator] = None):
         self.b, self.c, self.s, self.h = brightness, contrast, saturation, hue
         self.rng = rng or np.random.default_rng()
 
-    def __call__(self, image: PIL.Image.Image) -> np.ndarray:
-        from PIL import ImageEnhance
+    def get_params(self):
+        """(op_order, b, c, s, h) like torchvision ColorJitter.get_params."""
         r = self.rng
-        if self.b > 0:
-            image = ImageEnhance.Brightness(image).enhance(
-                float(r.uniform(max(0, 1 - self.b), 1 + self.b)))
-        if self.c > 0:
-            image = ImageEnhance.Contrast(image).enhance(
-                float(r.uniform(max(0, 1 - self.c), 1 + self.c)))
-        if self.s > 0:
-            image = ImageEnhance.Color(image).enhance(
-                float(r.uniform(max(0, 1 - self.s), 1 + self.s)))
-        if self.h > 0:
-            shift = float(r.uniform(-self.h, self.h))
-            hsv = np.array(image.convert("HSV"), dtype=np.int16)
-            hsv[..., 0] = (hsv[..., 0] + int(shift * 255)) % 256
-            image = PIL.Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB")
-        return img_norm(image)
+        order = r.permutation(4)
+        b = float(r.uniform(max(0, 1 - self.b), 1 + self.b)) if self.b else None
+        c = float(r.uniform(max(0, 1 - self.c), 1 + self.c)) if self.c else None
+        s = float(r.uniform(max(0, 1 - self.s), 1 + self.s)) if self.s else None
+        h = float(r.uniform(-self.h, self.h)) if self.h else None
+        return order, b, c, s, h
+
+    @staticmethod
+    def apply(image: PIL.Image.Image, order, b, c, s, h) -> PIL.Image.Image:
+        for idx in order:
+            if idx == 0 and b is not None:
+                image = adjust_brightness(image, b)
+            elif idx == 1 and c is not None:
+                image = adjust_contrast(image, c)
+            elif idx == 2 and s is not None:
+                image = adjust_saturation(image, s)
+            elif idx == 3 and h is not None:
+                image = adjust_hue(image, h)
+        return image
+
+    def __call__(self, image: PIL.Image.Image) -> np.ndarray:
+        return img_norm(self.apply(image, *self.get_params()))
 
 
 class EasyDataset:

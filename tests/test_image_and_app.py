@@ -73,8 +73,26 @@ def test_app_reconstruct_headless(img_dir, tmp_path, monkeypatch, rng):
     monkeypatch.setattr(demo_cli, "load_model",
                         lambda args: (params, cfg, FP32))
 
+    from spann3r_tpu.utils.export import read_glb
+
+    # default = triangle-mesh GLB (ref app.py as_pointcloud default False)
     glb = app_mod.reconstruct(str(frames), conf_thresh=0.0, kf_every=1,
                               resolution=32, out_dir=str(tmp_path / "out"))
     assert osp.exists(glb)
-    with open(glb, "rb") as f:
-        assert f.read(4) == b"glTF"
+    mesh = read_glb(glb)
+    n_verts = 3 * 32 * 32  # 3 frames of 32x32 pointmaps
+    assert mesh["positions"].shape == (n_verts, 3)
+    assert mesh["colors"].shape == (n_verts, 3)
+    faces = mesh["indices"]
+    assert len(faces) == 3 * 31 * 31 * 2  # 2 tris per valid pixel quad
+    assert faces.max() < n_verts
+    assert mesh["json"]["materials"][0]["doubleSided"] is True
+
+    # pointcloud mode
+    glb_pc = app_mod.reconstruct(str(frames), conf_thresh=0.0, kf_every=1,
+                                 as_pointcloud=True, resolution=32,
+                                 out_dir=str(tmp_path / "out_pc"))
+    pc = read_glb(glb_pc)
+    assert pc["indices"] is None
+    assert pc["json"]["meshes"][0]["primitives"][0]["mode"] == 0
+    assert len(pc["positions"]) == n_verts  # conf_thresh 0 keeps everything
