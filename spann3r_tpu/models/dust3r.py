@@ -50,23 +50,38 @@ def encode_image(params, img: jax.Array, cfg: DUSt3RConfig,
     return x, pos
 
 
+def head_hooks(cfg: DUSt3RConfig) -> Tuple[int, ...]:
+    """1-based decoder-block indices whose outputs the head consumes."""
+    if cfg.head_type == "dpt":
+        need = {h for h in cfg.dpt_hooks if h >= 1} | {cfg.dec.depth}
+    else:
+        need = {cfg.dec.depth}
+    return tuple(sorted(need))
+
+
 def decoder(params, f1: jax.Array, pos1: jax.Array, f2: jax.Array,
             pos2: jax.Array, cfg: DUSt3RConfig, prec: Precision = BF16,
             remat: bool = False) -> Tuple[List[jax.Array], List[jax.Array]]:
     """Dual cross-attending decoder (ref dust3r/model.py:186-205).
 
     Returns two lists of 1 + dec.depth states: [pre-projection (enc dim)] +
-    per-block outputs (dec dim), with the final state normed — exactly the
-    hook-state contract the DPT head expects.
+    per-block outputs (dec dim), with the final state normed — the hook-state
+    contract the DPT head expects.  Entries the head never reads are None
+    (the depth loop only materializes hook states; see
+    vit.dual_decoder_apply).
     """
     f1 = f1.astype(prec.compute_dtype)
     f2 = f2.astype(prec.compute_dtype)
     p1 = linear(params["decoder_embed"], f1)
     p2 = linear(params["decoder_embed"], f2)
-    ys1, ys2 = dual_decoder_apply(params["dec_blocks"], params["dec_blocks2"],
-                                  p1, p2, pos1, pos2, cfg.dec, remat=remat)
-    out1 = [f1] + [ys1[i] for i in range(cfg.dec.depth)]
-    out2 = [f2] + [ys2[i] for i in range(cfg.dec.depth)]
+    hooks = head_hooks(cfg)
+    ys = dual_decoder_apply(params["dec_blocks"], params["dec_blocks2"],
+                            p1, p2, pos1, pos2, cfg.dec, remat=remat,
+                            hooks=hooks)
+    out1: List = [f1] + [None] * cfg.dec.depth
+    out2: List = [f2] + [None] * cfg.dec.depth
+    for h, (y1, y2) in ys.items():
+        out1[h], out2[h] = y1, y2
     out1[-1] = layer_norm(params["dec_norm"], out1[-1], cfg.dec.ln_eps)
     out2[-1] = layer_norm(params["dec_norm"], out2[-1], cfg.dec.ln_eps)
     return out1, out2
@@ -80,7 +95,7 @@ def downstream_head(params, head_num: int, dec_states: List[jax.Array],
     The final postprocess (exp-norm) always computes in the head dtype and
     returns it unchanged."""
     dt = jnp.float32 if prec is None else prec.head_dtype
-    states = [s.astype(dt) for s in dec_states]
+    states = [None if s is None else s.astype(dt) for s in dec_states]
     out = head_apply(params[f"head{head_num}"], states, img_hw, cfg)
     return {k: v.astype(jnp.float32) for k, v in out.items()}
 

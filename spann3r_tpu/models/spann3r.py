@@ -96,20 +96,29 @@ def _memory_norms(params):
 
 class PairOutputs(NamedTuple):
     res1: Dict[str, jax.Array]
-    res2: Dict[str, jax.Array]
+    res2: Optional[Dict[str, jax.Array]]
     feat_k1: jax.Array
     feat_k2: jax.Array
     cur_v: jax.Array
+    # dec2 hook states (feat2, *block outputs at head_hooks) when the res2
+    # head is deferred (compute_res2=False); None otherwise
+    dec2_hooks: Optional[Tuple[jax.Array, ...]] = None
 
 
 def pair_step(params, cfg: Spann3RConfig, feat_fuse: jax.Array,
               feat1: jax.Array, feat2: jax.Array, pos: jax.Array,
               img_hw: Tuple[int, int], prec: Precision = BF16,
-              remat: bool = False) -> PairOutputs:
+              remat: bool = False, compute_res2: bool = True) -> PairOutputs:
     """Decode one (reference, target) frame pair and build memory features.
 
     feat_fuse: memory-fused reference features (== feat1 on the first pair).
     Ref: the body of the loop at spann3r/model.py:502-516.
+
+    compute_res2=False skips the target-frame head and returns its decoder
+    hook states instead — the streaming video scan discards every res2 but
+    the last (ref spann3r/model.py:523-534 keeps only the final pair's
+    target prediction), so the head runs once per video via
+    `head2_from_hooks` rather than once per frame.
     """
     dcfg = cfg.dust3r
     dec1, dec2 = d3.decoder(params["dust3r"], feat_fuse, pos, feat2, pos,
@@ -117,9 +126,26 @@ def pair_step(params, cfg: Spann3RConfig, feat_fuse: jax.Array,
     feat_k1 = attn_head_apply(params["attn_head_1"], feat1, dec1[-1])
     feat_k2 = attn_head_apply(params["attn_head_2"], feat2, dec2[-1])
     res1 = d3.downstream_head(params["dust3r"], 1, dec1, img_hw, dcfg, prec)
-    res2 = d3.downstream_head(params["dust3r"], 2, dec2, img_hw, dcfg, prec)
+    if compute_res2:
+        res2, hooks2 = d3.downstream_head(params["dust3r"], 2, dec2, img_hw,
+                                          dcfg, prec), None
+    else:
+        res2 = None
+        hooks2 = tuple([dec2[0]] + [dec2[h] for h in d3.head_hooks(dcfg)])
     cur_v = encode_value(params, cfg, res1["pts3d"], dec1[-1], pos, prec, remat)
-    return PairOutputs(res1, res2, feat_k1, feat_k2, cur_v)
+    return PairOutputs(res1, res2, feat_k1, feat_k2, cur_v, hooks2)
+
+
+def head2_from_hooks(params, cfg: Spann3RConfig,
+                     hook_states: Tuple[jax.Array, ...],
+                     img_hw: Tuple[int, int],
+                     prec: Precision = BF16) -> Dict[str, jax.Array]:
+    """Run the deferred target-frame head on carried decoder hook states."""
+    dcfg = cfg.dust3r
+    states: list = [hook_states[0]] + [None] * dcfg.dec.depth
+    for h, s in zip(d3.head_hooks(dcfg), hook_states[1:]):
+        states[h] = s
+    return d3.downstream_head(params["dust3r"], 2, states, img_hw, dcfg, prec)
 
 
 # ---------------------------------------------------------------------------
@@ -185,14 +211,16 @@ def scan_video_chunk(params, cfg: Spann3RConfig, carry, imgs: jax.Array,
                      prec: Precision = BF16):
     """Process `chunk` frames in ONE device program via lax.scan.
 
-    carry: (mem, feat_prev, feat_k2, res2_prev, have_prev, have_key)
+    carry: (mem, feat_prev, feat_k2, dec2_prev, have_prev, have_key) where
+    dec2_prev holds the last written frame's target-decoder hook states —
+    the res2 head itself runs ONCE per video on those states
+    (`head2_from_hooks`) instead of once per frame, since every res2 but
+    the last is discarded (ref preds contract, spann3r/model.py:523-534).
     imgs: (chunk, B, H, W, 3) uint8 or normalized float
     frame_valid: (chunk,) bool — False for padding frames (no-ops)
 
     Emits per-frame res1 (the reference-frame prediction of pair
-    (t-1, t)) in bf16; the running res2 lives in the carry so the caller
-    only fetches it once at the end (ref preds contract,
-    spann3r/model.py:523-534).
+    (t-1, t)) in bf16.
     """
     dcfg = cfg.dust3r
     odt = jnp.bfloat16 if prec.compute_dtype == jnp.bfloat16 else jnp.float32
@@ -213,7 +241,7 @@ def scan_video_chunk(params, cfg: Spann3RConfig, carry, imgs: jax.Array,
     pos = pos[:b]
 
     def body(carry, step):
-        mem, feat_prev, feat_k2, res2_prev, have_prev, have_key = carry
+        mem, feat_prev, feat_k2, dec2_prev, have_prev, have_key = carry
         feat2, valid = step
         fused, mem_read = memory_read(_memory_norms(params), mem, feat_k2,
                                       attn_thresh=cfg.memory.attn_thresh)
@@ -221,21 +249,19 @@ def scan_video_chunk(params, cfg: Spann3RConfig, carry, imgs: jax.Array,
         mem = jax.tree.map(lambda a, b: jnp.where(valid & have_key, a, b),
                            mem_read, mem)
         out = pair_step(params, cfg, feat_fuse, feat_prev, feat2, pos,
-                        img_hw, prec)
+                        img_hw, prec, compute_res2=False)
         written = add_mem_check(mem, out.feat_k1, out.cur_v + out.feat_k1,
                                 cfg.memory)
         do_write = valid & have_prev
         mem = jax.tree.map(lambda a, b: jnp.where(do_write, a, b), written, mem)
 
-        res2 = {"pts3d": out.res2["pts3d"].astype(odt),
-                "conf": out.res2["conf"].astype(odt)}
-        res2_prev = jax.tree.map(lambda a, b: jnp.where(do_write, a, b),
-                                 res2, res2_prev)
+        dec2_prev = jax.tree.map(lambda a, b: jnp.where(do_write, a, b),
+                                 out.dec2_hooks, dec2_prev)
         new_carry = (
             mem,
             jnp.where(valid, feat2, feat_prev),
             jnp.where(valid & have_prev, out.feat_k2, feat_k2),
-            res2_prev,
+            dec2_prev,
             have_prev | valid,
             have_key | (valid & have_prev),
         )
@@ -256,10 +282,11 @@ def init_video_carry(cfg: Spann3RConfig, img_hw: Tuple[int, int],
                       dtype=prec.compute_dtype)
     feat0 = jnp.zeros((batch, p_tokens, dcfg.enc.dim), prec.compute_dtype)
     key0 = jnp.zeros((batch, p_tokens, cfg.attn_head_out), prec.compute_dtype)
-    odt = jnp.bfloat16 if prec.compute_dtype == jnp.bfloat16 else jnp.float32
-    res2_0 = {"pts3d": jnp.zeros((batch, *img_hw, 3), odt),
-              "conf": jnp.zeros((batch, *img_hw), odt)}
-    return (mem, feat0, key0, res2_0,
+    dec2_0 = tuple(
+        [jnp.zeros((batch, p_tokens, dcfg.enc.dim), prec.compute_dtype)]
+        + [jnp.zeros((batch, p_tokens, dcfg.dec.dim), prec.compute_dtype)
+           for _ in d3.head_hooks(dcfg)])
+    return (mem, feat0, key0, dec2_0,
             jnp.zeros((), bool), jnp.zeros((), bool))
 
 
@@ -425,7 +452,11 @@ class InferenceEngine:
                           "conf": np.asarray(ys["conf"][i], np.float32)})
         if not preds:  # no pair was ever formed (e.g. a 1-frame video)
             return []
-        res2 = carry[3]
+        # deferred target-frame head: once per video on the carried states
+        if not hasattr(self, "_head2"):
+            self._head2 = jax.jit(lambda p, hs: head2_from_hooks(
+                p, self.cfg, hs, self.img_hw, self.prec))
+        res2 = self._head2(self.params, carry[3])
         preds.append({"pts3d_in_other_view":
                       np.asarray(res2["pts3d"], np.float32),
                       "conf": np.asarray(res2["conf"], np.float32)})
