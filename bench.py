@@ -1,6 +1,6 @@
 """Benchmark: incremental reconstruction FPS at 512-res on the TPU chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
 Baseline target: >=20 FPS incremental reconstruction at 512-res
 (BASELINE.md north-star; the reference repo publishes no FPS number).
 
@@ -8,14 +8,92 @@ Measures the steady-state streaming step of the flagship model (ViT-L
 encoder + dual ViT-B decoders + DPT heads + full spatial-memory
 read/dedup/spill/prune) after compile warmup, with the memory bank
 pre-filled to a realistic working+long-term occupancy.
+
+Timing protocol mirrors the reference (demo.py:114-129): the clock wraps
+the forward pass only; results stay on-device.  Two sync modes guard
+against the tunnel's chained-dispatch timing anomaly (CLAUDE.md):
+default syncs once at the end (the chunk chain forces completion);
+--sync_per_chunk fetches one element after every chunk as a cross-check.
+
+Extras reported in the same JSON line:
+  ms_per_frame, mfu_pct (XLA-counted model flops / elapsed / chip peak),
+  streams (batched serving), precision.
 """
 import argparse
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_FPS = 20.0
+PEAK_BF16 = {  # dense bf16 FLOP/s per chip
+    "TPU v5e": 197e12, "TPU v5 lite": 197e12, "TPU v5": 459e12,
+    "TPU v5p": 459e12, "TPU v4": 275e12, "TPU v6e": 918e12,
+}
+
+
+def model_flops_per_frame(cfg, hw, b: int, prec) -> float:
+    """Analytic matmul FLOPs of one streaming step (all streams).
+
+    XLA's cost_analysis counts while-loop bodies ONCE (not x trip count),
+    so the transformer stacks are counted analytically (2*M*K*N per matmul)
+    and the loop-free DPT head via a CPU-compiled cost_analysis.  LayerNorm/
+    softmax/elementwise FLOPs are ignored (<2% of total)."""
+    import jax
+    import jax.numpy as jnp
+
+    dcfg = cfg.dust3r
+    p = (hw[0] // dcfg.patch_size) * (hw[1] // dcfg.patch_size)
+
+    def block(n, d, mlp_ratio=4):
+        # qkv 6ndd + proj 2ndd + attn 4nnd + mlp 4nd*(ratio*d)
+        return 8 * n * d * d + 4 * n * n * d + 4 * n * d * int(mlp_ratio * d)
+
+    def dec_block(n, d):
+        return 16 * n * d * d + 8 * n * n * d + 16 * n * d * d
+
+    e, dd, v = dcfg.enc, dcfg.dec, cfg.value_enc_dim
+    f = 2 * p * e.dim * (dcfg.patch_size ** 2 * 3)          # patch embed
+    f += e.depth * block(p, e.dim)                          # ViT-L encoder
+    f += 2 * 2 * p * e.dim * dd.dim                         # decoder embeds
+    f += 2 * dd.depth * dec_block(p, dd.dim)                # dual decoder
+    f += cfg.value_enc_depth * block(p, v)                  # value encoder
+    if not cfg.use_feat:
+        f += 2 * p * v * (dcfg.patch_size ** 2 * 3)         # pos patch embed
+    f += 2 * p * v * cfg.attn_head_out                      # value_out
+    f += 2 * (2 * p * cfg.attn_head_in * cfg.attn_head_in   # attn-head MLPs
+              + 2 * p * cfg.attn_head_in * cfg.attn_head_out)
+    c = cfg.memory.capacity(p)
+    f += 4 * p * c * cfg.attn_head_out                      # memory read QK+AV
+    f *= b
+
+    # DPT/linear head1 (loop-free): XLA's count is exact here
+    try:
+        from spann3r_tpu.models import dust3r as d3
+        states = [jax.ShapeDtypeStruct((b, p, dim), jnp.bfloat16)
+                  for dim in dcfg.dpt_hook_dims]
+        full = [states[0]] + [None] * dcfg.dec.depth
+        for h, s in zip(d3.head_hooks(dcfg), states[1:]):
+            full[h] = s
+
+        def head1(*ss):
+            st = [ss[0]] + [None] * dcfg.dec.depth
+            for h, s in zip(d3.head_hooks(dcfg), ss[1:]):
+                st[h] = s
+            return d3.downstream_head({"head1": _head1_params[0]}, 1, st,
+                                      hw, dcfg, prec)
+
+        from spann3r_tpu.models.heads import init_head
+        _head1_params = [init_head(jax.random.PRNGKey(0), dcfg)]
+        ca = jax.jit(head1, backend="cpu").lower(
+            *[s for s in full if s is not None]).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        f += float(ca.get("flops", 0.0))
+    except Exception:
+        pass
+    return float(f)
 
 
 def main():
@@ -23,36 +101,40 @@ def main():
     ap.add_argument("--height", type=int, default=384)
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--frames", type=int, default=64)
-    ap.add_argument("--warmup", type=int, default=4)
     ap.add_argument("--chunk", type=int, default=32)
-    ap.add_argument("--bf16_heads", action="store_true")
+    ap.add_argument("--streams", type=int, default=1,
+                    help="independent video streams served in one batch")
+    ap.add_argument("--bf16_heads", action="store_true",
+                    help="BF16_FAST serving precision (bf16 DPT heads)")
+    ap.add_argument("--pallas_memread", type=int, default=1,
+                    help="use the fused Pallas memory-read kernel (B=1 only)")
+    ap.add_argument("--sync_per_chunk", action="store_true",
+                    help="fetch one element after every chunk (timing"
+                         " cross-check; adds one tunnel RTT per chunk)")
     ap.add_argument("--profile", type=str, default=None,
                     help="write a jax.profiler trace to this directory")
     args = ap.parse_args()
+
+    if args.pallas_memread and args.streams == 1:
+        os.environ["SPANN3R_PALLAS_MEMREAD"] = "1"
 
     import jax
     import jax.numpy as jnp
     from spann3r_tpu.config import BF16, BF16_FAST, Spann3RConfig
     from spann3r_tpu.models import spann3r as sp
+    from spann3r_tpu.models.spann3r import init_video_carry, scan_video_chunk
 
     hw = (args.height, args.width)
     prec = BF16_FAST if args.bf16_heads else BF16
+    b = args.streams
     cfg = Spann3RConfig()
     params = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
     # serve in bf16: cast params once (heads are force-fp32 internally)
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params)
 
-    engine = sp.InferenceEngine(params, cfg, hw, prec)
-
     rng = np.random.default_rng(0)
-    frames = rng.integers(0, 256, (args.frames, 1, *hw, 3)).astype(np.uint8)
-
-    # Timing protocol mirrors the reference (demo.py:114-129): the clock
-    # wraps the forward pass only; results stay on-device (the reference
-    # likewise excludes GPU->CPU export from FPS).  We sync each chunk by
-    # fetching one element, which waits for the whole program.
-    from spann3r_tpu.models.spann3r import init_video_carry, scan_video_chunk
+    frames = rng.integers(0, 256, (args.frames, b, *hw, 3)).astype(np.uint8)
 
     scan = jax.jit(
         lambda p, c, im, v: scan_video_chunk(p, cfg, c, im, v, hw, prec),
@@ -61,13 +143,21 @@ def main():
     chunks = [jnp.asarray(frames[s:s + args.chunk])
               for s in range(0, args.frames, args.chunk)
               if s + args.chunk <= args.frames]
+    n_frames = len(chunks) * args.chunk
+
+    def sync(ys):
+        np.asarray(ys["conf"][-1].ravel()[0])
 
     # warmup: compile + exercise fill/dedup/prune paths
-    carry = init_video_carry(cfg, hw, 1, prec)
+    carry = init_video_carry(cfg, hw, b, prec)
     carry, ys = scan(params, carry, chunks[0], valid)
-    np.asarray(ys["conf"]).ravel()[0]
+    sync(ys)
 
-    carry = init_video_carry(cfg, hw, 1, prec)
+    flops_per_frame = model_flops_per_frame(cfg, hw, b, prec)
+    dev = jax.devices()[0]
+    peak = PEAK_BF16.get(dev.device_kind, 197e12)
+
+    carry = init_video_carry(cfg, hw, b, prec)
     prof = None
     if args.profile:
         import jax.profiler as prof_mod
@@ -77,19 +167,27 @@ def main():
     outs = []
     for ch in chunks:
         carry, ys = scan(params, carry, ch, valid)
+        if args.sync_per_chunk:
+            sync(ys)
         outs.append(ys)
-    np.asarray(outs[-1]["conf"])[-1].ravel()[0]  # sync the full pipeline
+    sync(outs[-1])  # waits for the whole carry-chained pipeline
     elapsed = time.perf_counter() - t0
     if prof is not None:
         prof.stop_trace()
-    args.frames = len(chunks) * args.chunk
 
-    fps = args.frames / elapsed
+    fps = n_frames * b / elapsed
+    ms_per_frame = elapsed / n_frames * 1e3
+    mfu = (flops_per_frame * n_frames / elapsed / peak) if flops_per_frame else 0.0
     print(json.dumps({
         "metric": f"incremental_recon_fps_{args.width}x{args.height}",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "ms_per_frame": round(ms_per_frame, 3),
+        "mfu_pct": round(mfu * 100, 2),
+        "streams": b,
+        "precision": "bf16_fast" if args.bf16_heads else "bf16",
+        "sync": "per_chunk" if args.sync_per_chunk else "final",
     }))
 
 
