@@ -265,6 +265,40 @@ class GlobalAligner:
             conf[j] = np.maximum(conf[j], self.conf_j[k])
         return conf > self.min_conf_thr
 
+    def mask_sky(self, imgs) -> "GlobalAligner":
+        """Copy of the aligner with sky pixels' confidence zeroed
+        (ref dust3r/cloud_opt/base_opt.py:320-326).  imgs: per-image RGB
+        arrays in [0,1] or uint8."""
+        import copy
+
+        from ..utils.viz3d import segment_sky
+        res = copy.deepcopy(self)
+        sky = [segment_sky(np.asarray(im)) for im in imgs]
+        for k, (i, j) in enumerate(res.edges):
+            res.conf_i[k][sky[i]] = 0.0
+            res.conf_j[k][sky[j]] = 0.0
+        return res
+
+    def show(self, imgs=None, cam_size: float = None, path: str = None) -> str:
+        """Assemble pointclouds + camera frusta and write/show a GLB scene
+        (ref base_opt.py:328-343 via SceneViz)."""
+        from ..utils.viz3d import CAM_COLORS, SceneViz, auto_cam_size
+        viz = SceneViz()
+        pts = self.get_pts3d()
+        masks = self.get_masks()
+        colors = [CAM_COLORS[n % len(CAM_COLORS)] for n in range(self.n_imgs)]
+        for n in range(self.n_imgs):
+            viz.add_pointcloud(pts[n],
+                               imgs[n] if imgs is not None else colors[n],
+                               masks[n])
+        poses = self.get_im_poses()
+        if cam_size is None:
+            cam_size = max(auto_cam_size(poses), 1e-3)
+        viz.add_cameras(poses, self.get_focals(), colors=colors,
+                        imsizes=[(self.w, self.h)] * self.n_imgs,
+                        cam_size=cam_size)
+        return viz.show(path)
+
 
 def global_aligner(output: Dict, min_conf_thr: float = 3.0) -> GlobalAligner:
     """Factory mirroring dust3r.cloud_opt.global_aligner()."""

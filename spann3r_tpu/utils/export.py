@@ -196,6 +196,86 @@ def write_glb_mesh(path: str, vertices: np.ndarray, faces: np.ndarray,
         f.write(bin_blob)
 
 
+def write_glb_scene(path: str, mesh: Optional[dict] = None,
+                    points: Optional[np.ndarray] = None,
+                    point_colors: Optional[np.ndarray] = None) -> None:
+    """GLB with a TRIANGLES primitive (mesh dict per pts3d_to_mesh contract)
+    and/or a POINTS primitive in one scene — the standalone equivalent of
+    the reference's trimesh.Scene export (dust3r/viz.py:118-155 SceneViz)."""
+    buffers: list = []
+    views: list = []
+    accessors: list = []
+    primitives: list = []
+
+    def add_view(blob):
+        off = sum(len(b) for b in buffers)
+        buffers.append(blob)
+        views.append({"buffer": 0, "byteOffset": off, "byteLength": len(blob)})
+        return len(views) - 1
+
+    def add_pos(pts):
+        pts = np.ascontiguousarray(pts, np.float32).reshape(-1, 3)
+        v = add_view(pts.tobytes())
+        accessors.append({"bufferView": v, "componentType": 5126,
+                          "count": len(pts), "type": "VEC3",
+                          "min": pts.min(axis=0).tolist() if len(pts) else [0]*3,
+                          "max": pts.max(axis=0).tolist() if len(pts) else [0]*3})
+        return len(accessors) - 1
+
+    def add_col(cols, n):
+        if cols is None:
+            return None
+        cols = np.asarray(cols).reshape(-1, 3)
+        if cols.dtype == np.uint8:
+            cols = cols.astype(np.float32) / 255.0
+        cols = np.clip(cols, 0, 1).astype(np.float32)
+        assert len(cols) == n
+        v = add_view(np.ascontiguousarray(cols).tobytes())
+        accessors.append({"bufferView": v, "componentType": 5126,
+                          "count": n, "type": "VEC3"})
+        return len(accessors) - 1
+
+    if mesh is not None and len(mesh["faces"]):
+        attrs = {"POSITION": add_pos(mesh["vertices"])}
+        ci = add_col(mesh.get("vertex_colors"), len(mesh["vertices"]))
+        if ci is not None:
+            attrs["COLOR_0"] = ci
+        idx = np.ascontiguousarray(mesh["faces"], np.uint32)
+        v = add_view(idx.tobytes())
+        accessors.append({"bufferView": v, "componentType": 5125,
+                          "count": idx.size, "type": "SCALAR"})
+        primitives.append({"attributes": attrs, "indices": len(accessors) - 1,
+                           "material": 0, "mode": 4})
+    if points is not None and len(points):
+        attrs = {"POSITION": add_pos(points)}
+        ci = add_col(point_colors, len(np.asarray(points).reshape(-1, 3)))
+        if ci is not None:
+            attrs["COLOR_0"] = ci
+        primitives.append({"attributes": attrs, "mode": 0})
+    assert primitives, "empty scene"
+
+    bin_blob = b"".join(buffers)
+    bin_blob += b"\x00" * ((-len(bin_blob)) % 4)
+    gltf = {
+        "asset": {"version": "2.0", "generator": "spann3r_tpu"},
+        "scene": 0, "scenes": [{"nodes": [0]}], "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": primitives}],
+        "materials": [{"doubleSided": True,
+                       "pbrMetallicRoughness": {"metallicFactor": 0.0}}],
+        "buffers": [{"byteLength": len(bin_blob)}],
+        "bufferViews": views, "accessors": accessors,
+    }
+    json_blob = json.dumps(gltf).encode("utf-8")
+    json_blob += b" " * ((-len(json_blob)) % 4)
+    total = 12 + 8 + len(json_blob) + 8 + len(bin_blob)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<III", 0x46546C67, 2, total))
+        f.write(struct.pack("<II", len(json_blob), 0x4E4F534A))
+        f.write(json_blob)
+        f.write(struct.pack("<II", len(bin_blob), 0x004E4942))
+        f.write(bin_blob)
+
+
 def read_glb(path: str) -> dict:
     """Minimal GLB reader for the writers in this module (tests): returns
     {'json': gltf dict, 'positions': (N,3), 'indices': (F,3) or None,
@@ -218,14 +298,22 @@ def read_glb(path: str) -> dict:
         arr = np.frombuffer(raw, dtype=dtype)
         return arr.reshape(-1, ncomp) if ncomp > 1 else arr
 
-    prim = gltf["meshes"][0]["primitives"][0]
-    out = {"json": gltf,
-           "positions": acc_data(prim["attributes"]["POSITION"], np.float32, 3),
-           "indices": None, "colors": None}
-    if "indices" in prim:
-        out["indices"] = acc_data(prim["indices"], np.uint32, 1).reshape(-1, 3)
-    if "COLOR_0" in prim["attributes"]:
-        out["colors"] = acc_data(prim["attributes"]["COLOR_0"], np.float32, 3)
+    def read_prim(prim):
+        d = {"mode": prim.get("mode", 4),
+             "positions": acc_data(prim["attributes"]["POSITION"],
+                                   np.float32, 3),
+             "indices": None, "colors": None}
+        if "indices" in prim:
+            d["indices"] = acc_data(prim["indices"], np.uint32, 1) \
+                .reshape(-1, 3)
+        if "COLOR_0" in prim["attributes"]:
+            d["colors"] = acc_data(prim["attributes"]["COLOR_0"],
+                                   np.float32, 3)
+        return d
+
+    prims = [read_prim(p) for p in gltf["meshes"][0]["primitives"]]
+    out = dict(prims[0], json=gltf, primitives=prims)
+    out.pop("mode")
     return out
 
 
