@@ -220,14 +220,21 @@ def memory_prune(state: MemoryState, cfg: MemoryConfig) -> MemoryState:
 
 
 def add_mem_check(state: MemoryState, feat_k: jax.Array, feat_v: jax.Array,
-                  cfg: MemoryConfig) -> MemoryState:
+                  cfg: MemoryConfig,
+                  skip: Optional[jax.Array] = None) -> MemoryState:
     """Eval-mode write: dedup -> append -> spill -> prune, each decided
-    per stream (ref spann3r/model.py:120-143)."""
+    per stream (ref spann3r/model.py:120-143).
+
+    `skip` (per-stream or scalar bool) makes the write a no-op for those
+    streams — folded into the dedup select so callers under lax.scan don't
+    pay an extra full-bank where-copy for frame gating."""
     p = feat_k.shape[1]
     if cfg.sim_thresh >= 1.0:  # dedup disabled (ref model.py:99 early-return)
         dup = jnp.zeros((feat_k.shape[0],), bool)
     else:
         dup = check_sim(state, feat_k, p, cfg.work_mem_size, cfg.sim_thresh)
+    if skip is not None:
+        dup = dup | skip
 
     s = _append(state, feat_k, feat_v)
     s = s._replace(wm=s.wm + 1)

@@ -246,14 +246,15 @@ def scan_video_chunk(params, cfg: Spann3RConfig, carry, imgs: jax.Array,
         fused, mem_read = memory_read(_memory_norms(params), mem, feat_k2,
                                       attn_thresh=cfg.memory.attn_thresh)
         feat_fuse = jnp.where(have_key, fused, feat_prev)
-        mem = jax.tree.map(lambda a, b: jnp.where(valid & have_key, a, b),
-                           mem_read, mem)
+        # memory_read only touches the attn statistic — gate just that field
+        # rather than where-copying the whole 30+MB bank
+        mem = mem._replace(attn=jnp.where(valid & have_key,
+                                          mem_read.attn, mem.attn))
         out = pair_step(params, cfg, feat_fuse, feat_prev, feat2, pos,
                         img_hw, prec, compute_res2=False)
-        written = add_mem_check(mem, out.feat_k1, out.cur_v + out.feat_k1,
-                                cfg.memory)
         do_write = valid & have_prev
-        mem = jax.tree.map(lambda a, b: jnp.where(do_write, a, b), written, mem)
+        mem = add_mem_check(mem, out.feat_k1, out.cur_v + out.feat_k1,
+                            cfg.memory, skip=~do_write)
 
         dec2_prev = jax.tree.map(lambda a, b: jnp.where(do_write, a, b),
                                  out.dec2_hooks, dec2_prev)
