@@ -108,6 +108,8 @@ def main():
                     help="BF16_FAST serving precision (bf16 DPT heads)")
     ap.add_argument("--pallas_memread", type=int, default=1,
                     help="use the fused Pallas memory-read kernel (B=1 only)")
+    ap.add_argument("--pallas_attn", type=int, default=0,
+                    help="use the fused Pallas SDPA kernel in all blocks")
     ap.add_argument("--sync_per_chunk", action="store_true",
                     help="fetch one element after every chunk (timing"
                          " cross-check; adds one tunnel RTT per chunk)")
@@ -117,6 +119,8 @@ def main():
 
     if args.pallas_memread and args.streams == 1:
         os.environ["SPANN3R_PALLAS_MEMREAD"] = "1"
+    if args.pallas_attn:
+        os.environ["SPANN3R_PALLAS_ATTN"] = "1"
 
     import jax
     import jax.numpy as jnp

@@ -1,12 +1,17 @@
 """Self/cross attention ops (ref croco/models/blocks.py:81-169).
 
-Straightforward einsum attention — at Spann3R's sequence lengths (196–1024
-tokens/frame) XLA fuses the softmax chain and tiles the matmuls onto the MXU;
-a hand-written flash kernel buys nothing at N≤1024 where the whole score
-matrix fits comfortably in VMEM.  Logits accumulate in fp32.
+Einsum attention with fp32 logit accumulation.  SPANN3R_PALLAS_ATTN=1
+switches to a fused Pallas SDPA kernel (ops/pallas_attention.py) — kept
+opt-in because it MEASURES SLOWER at Spann3R's shapes (47.3 vs 50.8 FPS
+@512-res serving): the custom call forces the post-RoPE q/k/v to
+materialize through HBM, while the jnp path lets XLA fuse rope +
+transpose into the QK^T producer and the softmax chain into the PV
+matmul.  The kernel only pays off for sequences too long for that
+fusion (N >> 1024), which Spann3R never reaches.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -27,6 +32,9 @@ def _merge_heads(x: jax.Array) -> jax.Array:
 
 
 def _sdpa(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
+    if os.environ.get("SPANN3R_PALLAS_ATTN") == "1":
+        from .pallas_attention import fused_sdpa
+        return fused_sdpa(q, k, v, scale)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
