@@ -57,18 +57,35 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def param_sharding(mesh: Mesh, params, min_dim: int = 1024):
+def param_sharding(mesh: Mesh, params, min_dim: int = 1024,
+                   fsdp: bool = False):
     """Shard large 2-D+ weights over the 'model' axis (last dim), replicate
     the rest.  With model=1 this is full replication (pure DP).  `min_dim`
-    sets the smallest last-dim worth sharding (lower it to shard more; tests
-    use small values so tiny models still exercise the tp path)."""
+    sets the smallest dim worth sharding (lower it to shard more; tests use
+    small values so tiny models still exercise the tp path).
+
+    `fsdp=True` additionally shards the second-to-last dim of large weights
+    over the 'data' axis (ZeRO-3-style fully-sharded data parallelism: each
+    data rank stores 1/N of every big weight + its Adam moments; XLA inserts
+    the per-layer all-gathers in forward/backward and reduce-scatters the
+    grads).  Composes with tp: a stacked (L, in, out) scan weight becomes
+    P(None, 'data', 'model').  The reference has no analogue (its scaling
+    story is DDP with fully replicated params, spann3r/training.py:322-325).
+    """
     model_n = mesh.shape["model"]
+    data_n = mesh.shape["data"]
 
     def spec(x):
+        axes = [None] * x.ndim
         if model_n > 1 and x.ndim >= 2 and x.shape[-1] % model_n == 0 \
                 and x.shape[-1] >= min_dim:
-            return NamedSharding(mesh, P(*([None] * (x.ndim - 1) + ["model"])))
-        return NamedSharding(mesh, P())
+            axes[-1] = "model"
+        if fsdp and data_n > 1 and x.ndim >= 2 \
+                and x.shape[-2] % data_n == 0 and x.shape[-2] >= min_dim:
+            axes[-2] = "data"
+        if not any(axes):
+            return NamedSharding(mesh, P())  # replicated, comparable to P()
+        return NamedSharding(mesh, P(*axes))
 
     return jax.tree.map(spec, params)
 

@@ -75,6 +75,9 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="tensor-parallel axis size of the device mesh")
     p.add_argument("--tp_min_dim", default=1024, type=int,
                    help="smallest weight last-dim sharded over 'model'")
+    p.add_argument("--fsdp", default=0, type=int,
+                   help="ZeRO-3-style: also shard big weights + Adam moments "
+                        "over the 'data' axis (parallel/mesh.py)")
     p.add_argument("--bf16", default=1, type=int)
     p.add_argument("--remat", default=1, type=int)
     p.add_argument("--profile_dir", default=None, type=str,
@@ -325,14 +328,15 @@ def train(args) -> Dict[str, Any]:
     # tensor-parallel layout: shard the big weights over 'model', replicate
     # the rest; opt.init on sharded params inherits the same layout
     param_shardings = pmesh.param_sharding(mesh, params,
-                                           min_dim=args.tp_min_dim)
+                                           min_dim=args.tp_min_dim,
+                                           fsdp=bool(args.fsdp))
     params = jax.tree.map(jax.device_put, params, param_shardings)
-    if args.model_axis > 1:
+    if args.model_axis > 1 or args.fsdp:
         from jax.sharding import PartitionSpec
         n_sharded = sum(jax.tree.leaves(jax.tree.map(
             lambda sh: sh.spec != PartitionSpec(), param_shardings)))
-        print(f"tensor-parallel: {n_sharded} weight tensors sharded over "
-              f"model axis {args.model_axis}")
+        print(f"sharded params: {n_sharded} weight tensors "
+              f"(model axis {args.model_axis}, fsdp={bool(args.fsdp)})")
     opt_state = opt.init(params)
 
     ckpt = CheckpointManager(args.output_dir)
@@ -375,6 +379,7 @@ def train(args) -> Dict[str, Any]:
 
     steps_per_epoch = max(len(loader), 1)
     t0 = time.time()
+    last_loss = float("nan")
     for epoch in range(start_epoch, args.epochs + 1):
         # ---- eval + checkpointing cadence (ref training.py:377-405) ----
         test_stats = {}
@@ -440,7 +445,7 @@ def train(args) -> Dict[str, Any]:
             # finiteness check EVERY step (ref training.py:222-224 aborts on
             # the very iteration the loss goes non-finite, before the next
             # optimizer update can poison params further)
-            loss_f = float(metrics["loss"])
+            loss_f = last_loss = float(metrics["loss"])
             if not math.isfinite(loss_f):
                 raise RuntimeError(
                     f"non-finite loss {loss_f} at epoch {epoch_f:.3f} it {it}")
@@ -468,7 +473,8 @@ def train(args) -> Dict[str, Any]:
     print(f"Training done in {time.time() - t0:.0f}s")
     # final state returned for callers/tests; the CLI ignores it
     return {"params": params, "opt_state": opt_state,
-            "param_shardings": param_shardings, "best": best_so_far}
+            "param_shardings": param_shardings, "best": best_so_far,
+            "last_loss": last_loss}
 
 
 def snapshot_sources(output_dir: str) -> None:
