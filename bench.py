@@ -110,6 +110,9 @@ def main():
                     help="use the fused Pallas memory-read kernel (B=1 only)")
     ap.add_argument("--pallas_attn", type=int, default=0,
                     help="use the fused Pallas SDPA kernel in all blocks")
+    ap.add_argument("--flash_attn", type=int, default=0,
+                    help="use jax's tuned TPU flash-attention kernel "
+                         "(N % 128 == 0 shapes only)")
     ap.add_argument("--sync_per_chunk", action="store_true",
                     help="fetch one element after every chunk (timing"
                          " cross-check; adds one tunnel RTT per chunk)")
@@ -121,6 +124,8 @@ def main():
         os.environ["SPANN3R_PALLAS_MEMREAD"] = "1"
     if args.pallas_attn:
         os.environ["SPANN3R_PALLAS_ATTN"] = "1"
+    if args.flash_attn:
+        os.environ["SPANN3R_FLASH_ATTN"] = "1"
 
     import jax
     import jax.numpy as jnp

@@ -32,6 +32,15 @@ def _merge_heads(x: jax.Array) -> jax.Array:
 
 
 def _sdpa(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
+    if (os.environ.get("SPANN3R_FLASH_ATTN") == "1"
+            and q.shape[2] % 128 == 0 and k.shape[2] % 128 == 0
+            and jax.default_backend() != "cpu"):
+        # jax's tuned TPU flash kernel (pipelined q/k blocks, online
+        # softmax); shapes with N % 128 != 0 (224-res: N=196) fall through
+        # to the jnp path, as does CPU (the kernel is Mosaic-only)
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention)
+        return flash_attention(q, k, v, sm_scale=scale).astype(v.dtype)
     if os.environ.get("SPANN3R_PALLAS_ATTN") == "1":
         from .pallas_attention import fused_sdpa
         return fused_sdpa(q, k, v, scale)

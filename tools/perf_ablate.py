@@ -11,9 +11,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os.path as osp
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 PEAK_BF16 = {  # dense bf16 TFLOP/s per chip
     "TPU v5e": 197e12,
