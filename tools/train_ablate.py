@@ -1,0 +1,138 @@
+"""Train-step timing/MFU ablation on the real TPU chip.
+
+Times the full-size training step (ViT-L + dual ViT-B + DPT heads, B x T
+@224, full backprop) under different rematerialization policies and
+reports ms/step, samples/s, and an analytic MFU.  Per-rep sync (fetch one
+element of an output) so the tunnel's chained-dispatch anomaly cannot
+bite (CLAUDE.md).
+
+FLOP accounting: forward matmul FLOPs are counted analytically with
+bench.model_flops_per_frame (cost_analysis undercounts scan bodies);
+backward = 2x forward; block remat (the default policy) recomputes the
+forward once more inside the backward -> 4x forward total.  Non-matmul
+FLOPs ignored.
+
+Usage: python tools/train_ablate.py [--batch 4] [--frames 5]
+       [--variants default,dots,none] [--profile DIR]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+from bench import PEAK_BF16, model_flops_per_frame  # noqa: E402
+
+
+def sync(tree):
+    import jax
+    leaves = jax.tree.leaves(tree)
+    np.asarray(leaves[0].ravel()[0])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--frames", type=int, default=5)
+    ap.add_argument("--resolution", type=int, default=224)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--variants", type=str, default="default,dots,none")
+    ap.add_argument("--head_type", type=str, default="dpt")
+    ap.add_argument("--profile", type=str, default=None,
+                    help="profile the 'default' variant's steps to this dir")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from spann3r_tpu import losses, training as tr
+    from spann3r_tpu.config import BF16, DUSt3RConfig, Spann3RConfig
+    from spann3r_tpu.models import spann3r as sp
+
+    hw = (args.resolution, args.resolution)
+    cfg = Spann3RConfig(dust3r=DUSt3RConfig(img_size=hw,
+                                            head_type=args.head_type))
+    dev = jax.devices()[0]
+    peak = PEAK_BF16.get(dev.device_kind, 197e12)
+    print(f"device: {dev.device_kind}; B={args.batch} T={args.frames} @{hw}")
+
+    b, t = args.batch, args.frames
+    rng = np.random.default_rng(0)
+    batch = {
+        "img": jnp.asarray(rng.standard_normal((t, b, *hw, 3)), jnp.float32) * 0.3,
+        "pts3d": jnp.asarray(rng.standard_normal((t, b, *hw, 3)), jnp.float32) + 2,
+        "valid_mask": jnp.ones((t, b, *hw), bool),
+        "camera_pose": jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                                        (t, b, 4, 4)),
+    }
+
+    # fwd matmul flops: (t-1) pair steps, each = one frame's streaming step
+    # minus the memory-read term (training bank is tiny vs serving)
+    fwd = model_flops_per_frame(cfg, hw, b, BF16) * (t - 1)
+
+    params0 = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
+    opt = tr.make_optimizer(0.05)
+    results = {}
+
+    for variant in args.variants.split(","):
+        os.environ.pop("SPANN3R_REMAT_POLICY", None)
+        remat = True
+        recompute_factor = 1.0
+        if variant == "dots":
+            os.environ["SPANN3R_REMAT_POLICY"] = "dots"
+            recompute_factor = 0.35   # elementwise-only recompute (approx)
+        elif variant == "none":
+            remat = False
+            recompute_factor = 0.0
+        total_flops = fwd * (3.0 + recompute_factor)
+
+        try:
+            step = tr.make_train_step(cfg, BF16, opt, remat=remat)
+            params = jax.tree.map(lambda x: x, params0)
+            opt_state = opt.init(params)
+            key = jax.random.PRNGKey(1)
+            # compile + first step
+            t0 = time.perf_counter()
+            params, opt_state, m = step(params, opt_state, batch, key,
+                                        jnp.float32(1e-5), jnp.float32(0.4))
+            sync(m["loss"])
+            compile_s = time.perf_counter() - t0
+            ts = []
+            prof = args.profile if (args.profile and variant == "default") else None
+            if prof:
+                jax.profiler.start_trace(prof)
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                params, opt_state, m = step(params, opt_state, batch, key,
+                                            jnp.float32(1e-5),
+                                            jnp.float32(0.4))
+                sync(m["loss"])
+                ts.append(time.perf_counter() - t0)
+            if prof:
+                jax.profiler.stop_trace()
+            med = float(np.median(ts))
+            results[variant] = {
+                "ms_per_step": round(med * 1e3, 1),
+                "samples_per_s": round(b / med, 2),
+                "mfu_pct": round(total_flops / med / peak * 100, 1),
+                "compile_s": round(compile_s, 0),
+                "spread_ms": [round(min(ts) * 1e3, 1), round(max(ts) * 1e3, 1)],
+            }
+            print(variant, results[variant], flush=True)
+            del params, opt_state, step
+        except Exception as e:  # OOM etc.
+            results[variant] = {"error": str(e)[:200]}
+            print(variant, "FAILED:", str(e)[:200], flush=True)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
