@@ -204,12 +204,27 @@ def patch_embed_apply(p, img: jax.Array, patch_size: int = 16) -> Tuple[jax.Arra
 
     Equivalent to the reference's Conv2d(k=16, s=16) + flatten
     (ref blocks.py:209-236 / dust3r/patch_embed.py:19-29), landscape layout.
-    """
-    b, h, w, _ = img.shape
+
+    Computed as space-to-depth + matmul rather than a conv: a k=s conv IS
+    this dot, but XLA lowers the conv's INPUT gradient as a 3-output-channel
+    transposed conv that runs ~105 ms/call on the MXU (3 channels against
+    128 lanes).  That cost hits training through pos_patch_embed, whose
+    input is the PREDICTED pointmap (profiled: 4 calls = half the train
+    step).  The HWIO kernel (kh, kw, cin, cout) flattens row-major in
+    exactly the patch-vector order, so weights are interchangeable with the
+    conv form (checkpoint layout untouched)."""
+    b, h, w, c = img.shape
     assert h % patch_size == 0 and w % patch_size == 0
-    x = conv2d(p["proj"], img, stride=patch_size, padding="VALID")
     hp, wp = h // patch_size, w // patch_size
-    tokens = x.reshape(b, hp * wp, x.shape[-1])
+    x = img.reshape(b, hp, patch_size, wp, patch_size, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp * wp,
+                                              patch_size * patch_size * c)
+    wk = p["proj"]["w"].astype(x.dtype)
+    tokens = jnp.einsum("bnk,kd->bnd", x, wk.reshape(-1, wk.shape[-1]),
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+    bias = p["proj"].get("b")
+    if bias is not None:
+        tokens = tokens + bias.astype(x.dtype)
     pos = jnp.broadcast_to(patch_positions(hp, wp)[None], (b, hp * wp, 2))
     return tokens, pos
 
