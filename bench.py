@@ -113,6 +113,8 @@ def main():
     ap.add_argument("--flash_attn", type=int, default=0,
                     help="use jax's tuned TPU flash-attention kernel "
                          "(N % 128 == 0 shapes only)")
+    ap.add_argument("--int8", type=int, default=0,
+                    help="int8 weight-only serving (ops/quant.py)")
     ap.add_argument("--sync_per_chunk", action="store_true",
                     help="fetch one element after every chunk (timing"
                          " cross-check; adds one tunnel RTT per chunk)")
@@ -141,6 +143,12 @@ def main():
     # serve in bf16: cast params once (heads are force-fp32 internally)
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params)
+    if args.int8:
+        from spann3r_tpu.ops.quant import (count_quantized,
+                                           quantize_linear_weights)
+        params = quantize_linear_weights(params)
+        print(f"int8 weight-only serving: {count_quantized(params)} "
+              f"matrices quantized")
 
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 256, (args.frames, b, *hw, 3)).astype(np.uint8)
@@ -195,7 +203,8 @@ def main():
         "ms_per_frame": round(ms_per_frame, 3),
         "mfu_pct": round(mfu * 100, 2),
         "streams": b,
-        "precision": "bf16_fast" if args.bf16_heads else "bf16",
+        "precision": ("int8" if args.int8 else
+                      "bf16_fast" if args.bf16_heads else "bf16"),
         "sync": "per_chunk" if args.sync_per_chunk else "final",
     }))
 

@@ -29,6 +29,8 @@ def get_args_parser():
     p.add_argument("--save_ori", action="store_true")
     p.add_argument("--dynamic", action="store_true")
     p.add_argument("--fp32", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 weight-only serving (ops/quant.py)")
     return p
 
 
@@ -47,6 +49,14 @@ def load_model(args):
               f"using random init (smoke-test mode)")
         params = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
     prec = FP32 if args.fp32 else BF16
+    if getattr(args, "int8", False):
+        import jax.numpy as jnp
+        from spann3r_tpu.ops.quant import (count_quantized,
+                                           quantize_linear_weights)
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params)
+        params = quantize_linear_weights(params)
+        print(f"int8 weight-only serving: {count_quantized(params)} matrices")
     return params, cfg, prec
 
 

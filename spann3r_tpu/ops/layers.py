@@ -26,7 +26,13 @@ def dot(x: jax.Array, w: jax.Array) -> jax.Array:
 
 
 def linear(p, x: jax.Array) -> jax.Array:
-    y = dot(x, p["w"].astype(x.dtype))
+    if "w_q" in p:
+        # int8 weight-only serving (ops/quant.py): dequant fuses into the
+        # matmul's operand load; weight HBM traffic halves vs bf16
+        w = p["w_q"].astype(x.dtype) * p["w_scale"].astype(x.dtype)
+    else:
+        w = p["w"].astype(x.dtype)
+    y = dot(x, w)
     if p.get("b") is not None:
         y = y + p["b"].astype(x.dtype)
     return y

@@ -1,0 +1,72 @@
+"""Int8 weight-only quantization for serving.
+
+Per-output-channel symmetric int8 on the large linear weights ({'w':
+(in, out)} dicts, including (L, in, out) stacked scan blocks): q =
+round(w / s), s = max|w| over the contraction axis / 127.  `ops.layers
+.linear` dequantizes at use (q.astype(bf16) * s), which XLA fuses into
+the matmul's weight load — halving weight HBM traffic vs bf16 while the
+MXU still computes in bf16 with fp32 accumulation.
+
+The win is bounded: the streaming decoder reads ~450 MB of weights per
+frame (sequential, B=1), everything else amortizes weights over the
+32-frame chunk — see PERF.md.  Opt-in (bench.py --int8 / demo.py
+--int8); accuracy pinned by tests/test_quant.py.
+
+The reference has no quantized path; this is a TPU-serving extra.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _quantize_weight(w: jax.Array):
+    """w (..., in, out) fp -> (q int8, scale fp32 broadcastable to w)."""
+    wf = w.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(wf), axis=-2, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_linear_weights(params, min_dim: int = 512):
+    """Replace eligible linear weights with {'w_q', 'w_scale'} pairs.
+
+    Eligible: dict nodes holding a 2-D (in, out) or 3-D stacked (L, in,
+    out) 'w' whose last two dims are both >= min_dim — i.e. the
+    transformer matrices; 4-D conv kernels (consumed by conv2d, which has
+    no dequant path), heads, and biases stay in full precision.  Returns a
+    new pytree; the input is not mutated.
+    """
+    def walk(node):
+        if isinstance(node, dict):
+            out = {k: walk(v) for k, v in node.items()}
+            w = node.get("w")
+            if (w is not None and hasattr(w, "ndim") and w.ndim in (2, 3)
+                    and w.shape[-2] >= min_dim and w.shape[-1] >= min_dim):
+                q, scale = _quantize_weight(w)
+                del out["w"]
+                out["w_q"], out["w_scale"] = q, scale
+            return out
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return walk(params)
+
+
+def count_quantized(params) -> int:
+    n = [0]
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "w_q" in node:
+                n[0] += 1
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                walk(v)
+
+    walk(params)
+    return n[0]

@@ -1,0 +1,89 @@
+"""Int8 weight-only serving: quantizer structure + accuracy bounds."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spann3r_tpu.ops import layers
+from spann3r_tpu.ops.quant import (count_quantized, quantize_linear_weights,
+                                   _quantize_weight)
+
+
+def test_quant_dequant_error_bound(rng):
+    w = jnp.asarray(rng.standard_normal((768, 1024)).astype(np.float32))
+    q, scale = _quantize_weight(w)
+    deq = q.astype(jnp.float32) * scale
+    # symmetric per-out-channel: |err| <= scale/2 = max|w|_col / 254
+    err = np.abs(np.asarray(deq - w))
+    bound = np.asarray(scale)[0] / 2 + 1e-7
+    assert (err <= bound[None, :]).all()
+
+
+def test_structure_selects_linears_only(rng):
+    params = {
+        "qkv": {"w": jnp.zeros((1024, 3072)), "b": jnp.zeros((3072,))},
+        "stacked": {"w": jnp.zeros((24, 768, 3072)), "b": jnp.zeros((24, 3072))},
+        "small": {"w": jnp.zeros((4, 16))},
+        "conv1x1": {"w": jnp.zeros((1, 1, 1024, 768)), "b": jnp.zeros((768,))},
+        "patch": {"proj": {"w": jnp.zeros((16, 16, 3, 1024))}},
+    }
+    out = quantize_linear_weights(params)
+    assert count_quantized(out) == 2
+    assert "w_q" in out["qkv"] and "w" not in out["qkv"]
+    assert out["qkv"]["w_q"].dtype == jnp.int8
+    assert out["stacked"]["w_q"].shape == (24, 768, 3072)
+    assert out["stacked"]["w_scale"].shape == (24, 1, 3072)
+    # convs and small weights untouched (conv2d has no dequant path)
+    assert "w" in out["conv1x1"] and "w_q" not in out["conv1x1"]
+    assert "w" in out["small"]
+    assert "w" in out["patch"]["proj"]
+
+
+def test_linear_accuracy_and_scan_slicing(rng):
+    w = jnp.asarray(rng.standard_normal((24, 768, 1024)).astype(np.float32)) * 0.02
+    b = jnp.asarray(rng.standard_normal((24, 1024)).astype(np.float32)) * 0.01
+    x = jnp.asarray(rng.standard_normal((4, 768)).astype(np.float32))
+    stacked = quantize_linear_weights({"lin": {"w": w, "b": b}},
+                                      min_dim=512)["lin"]
+
+    def body(carry, p):
+        return carry, layers.linear(p, x)
+
+    _, ys_q = jax.lax.scan(body, 0, stacked)
+    ref = jnp.einsum("bi,lio->lbo", x, w) + b[:, None]
+    # per-weight int8 error (<= scale/2) accumulates ~sqrt(in_dim) over the
+    # contraction -> expect ~1% of output RMS
+    err = np.asarray(ys_q - ref)
+    rel_rms = np.linalg.norm(err) / np.linalg.norm(np.asarray(ref))
+    assert rel_rms < 0.02, rel_rms
+    assert np.max(np.abs(err)) < 0.1
+
+
+def test_pair_step_outputs_close(rng):
+    """Tiny full model: quantized forward stays close to full precision."""
+    from spann3r_tpu.config import DUSt3RConfig, Spann3RConfig, ViTConfig, BF16
+    from spann3r_tpu.models import dust3r as d3
+    from spann3r_tpu.models import spann3r as sp
+
+    hw = (32, 32)
+    cfg = Spann3RConfig(
+        dust3r=DUSt3RConfig(img_size=hw, patch_size=16,
+                            enc=ViTConfig(dim=512, depth=2, num_heads=4),
+                            dec=ViTConfig(dim=512, depth=2, num_heads=4),
+                            head_type="linear"),
+        value_enc_depth=2, value_enc_dim=512, value_enc_heads=4,
+        attn_head_in=512 + 512, attn_head_out=512)
+    params = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
+    img = jnp.asarray(rng.standard_normal((2, *hw, 3)).astype(np.float32)) * 0.3
+
+    def fwd(p):
+        feats, pos = d3.encode_image(p["dust3r"], img, cfg.dust3r, BF16)
+        f1, f2 = feats[:1], feats[1:]
+        out = sp.pair_step(p, cfg, f1, f1, f2, pos[:1], hw, BF16)
+        return out.res1["pts3d"]
+
+    ref = np.asarray(fwd(params))
+    qparams = quantize_linear_weights(params, min_dim=256)
+    assert count_quantized(qparams) > 10
+    got = np.asarray(fwd(qparams))
+    # bf16 forward with int8 weights: same scene structure, small drift
+    assert np.median(np.abs(got - ref)) < 0.05 * (np.median(np.abs(ref)) + 1)
