@@ -22,6 +22,8 @@ ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
 CONFIGS = [
     ("512x384, bf16 (reference protocol)", ["--height", "384", "--width", "512"]),
     ("512x384, bf16_fast", ["--height", "384", "--width", "512", "--bf16_heads"]),
+    ("512x384, int8 weight-only", ["--height", "384", "--width", "512",
+                                   "--int8", "1"]),
     ("224x224, bf16", ["--height", "224", "--width", "224"]),
     ("224x224, bf16_fast", ["--height", "224", "--width", "224", "--bf16_heads"]),
     ("224x224, bf16, 8 streams", ["--height", "224", "--width", "224",
