@@ -528,6 +528,11 @@ def test_one_epoch(eval_step, params, dataset, batch_size: int,
     """Seeded held-out eval tracking mean + median loss plus per-detail loss
     meters, all-reduced across hosts; optionally dumps the first `max_ply`
     reconstructions as PLYs (ref training.py:94-168, misc.py:45-56)."""
+    if hasattr(dataset, "set_epoch"):
+        # epoch-resized ("N @ ds") eval sets resample per epoch; eval
+        # datasets carry a fixed seed so the selection stays deterministic
+        # (ref training.py:107-110)
+        dataset.set_epoch(epoch)
     loader = DataLoader(dataset, batch_size, num_workers=1)
     losses_all = []
     detail_sums: Dict[str, float] = {}

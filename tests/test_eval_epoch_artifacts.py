@@ -71,3 +71,17 @@ def test_eval_epoch_dumps_plys_and_detail_meters(tmp_path):
     assert pts.ndim == 2 and pts.shape[1] == 3
     assert len(pts) > 0 and np.isfinite(pts).all()
     assert cols.min() >= 0 and cols.max() <= 255
+
+
+def test_eval_epoch_handles_resized_dataset(tmp_path):
+    """Regression: a '2 @ ds' test set must get set_epoch() before indexing
+    (found by a real-TPU driver run; ref training.py:107-110)."""
+    from spann3r_tpu.datasets.base import ResizedDataset
+
+    cfg = tiny_cfg()
+    params = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
+    eval_step = tr.make_eval_step(cfg, FP32)
+    ds = ResizedDataset(2, SynthViews())
+    stats = tr.test_one_epoch(eval_step, params, ds, batch_size=1,
+                              output_dir=None, epoch=0)
+    assert np.isfinite(stats["loss_avg"])
