@@ -73,15 +73,11 @@ def model_flops_per_frame(cfg, hw, b: int, prec) -> float:
         from spann3r_tpu.models import dust3r as d3
         states = [jax.ShapeDtypeStruct((b, p, dim), jnp.bfloat16)
                   for dim in dcfg.dpt_hook_dims]
-        full = [states[0]] + [None] * dcfg.dec.depth
-        for h, s in zip(d3.head_hooks(dcfg), states[1:]):
-            full[h] = s
+        full = d3.states_from_hooks(dcfg, states)
 
         def head1(*ss):
-            st = [ss[0]] + [None] * dcfg.dec.depth
-            for h, s in zip(d3.head_hooks(dcfg), ss[1:]):
-                st[h] = s
-            return d3.downstream_head({"head1": _head1_params[0]}, 1, st,
+            return d3.downstream_head({"head1": _head1_params[0]}, 1,
+                                      d3.states_from_hooks(dcfg, ss),
                                       hw, dcfg, prec)
 
         from spann3r_tpu.models.heads import init_head

@@ -59,6 +59,18 @@ def head_hooks(cfg: DUSt3RConfig) -> Tuple[int, ...]:
     return tuple(sorted(need))
 
 
+def states_from_hooks(cfg: DUSt3RConfig, packed) -> list:
+    """Expand a packed (state0, *hook_states) sequence back into the
+    1 + dec.depth hook-state list `downstream_head` expects, with None at
+    indices the head never reads.  Single source of truth for the packing
+    order used by carried/deferred head states (head2_from_hooks, bench's
+    MFU head accounting)."""
+    states: list = [packed[0]] + [None] * cfg.dec.depth
+    for h, s in zip(head_hooks(cfg), packed[1:]):
+        states[h] = s
+    return states
+
+
 def decoder(params, f1: jax.Array, pos1: jax.Array, f2: jax.Array,
             pos2: jax.Array, cfg: DUSt3RConfig, prec: Precision = BF16,
             remat: bool = False) -> Tuple[List[jax.Array], List[jax.Array]]:

@@ -142,9 +142,7 @@ def head2_from_hooks(params, cfg: Spann3RConfig,
                      prec: Precision = BF16) -> Dict[str, jax.Array]:
     """Run the deferred target-frame head on carried decoder hook states."""
     dcfg = cfg.dust3r
-    states: list = [hook_states[0]] + [None] * dcfg.dec.depth
-    for h, s in zip(d3.head_hooks(dcfg), hook_states[1:]):
-        states[h] = s
+    states = d3.states_from_hooks(dcfg, hook_states)
     return d3.downstream_head(params["dust3r"], 2, states, img_hw, dcfg, prec)
 
 

@@ -313,11 +313,16 @@ def train(args) -> Dict[str, Any]:
             # (ref croco misc.load_model: model.load_state_dict, then a new
             # optimizer unless --resume)
             import orbax.checkpoint as ocp
-            restored = ocp.StandardCheckpointer().restore(
-                os.path.abspath(args.pretrained),
-                {"params": params, "opt_state": opt.init(params),
+            # abstract template: avoid materializing a throwaway Adam state
+            # (2x params of fp32) just to describe the restore structure
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                {"params": params,
+                 "opt_state": jax.eval_shape(opt.init, params),
                  "epoch": np.array(0, np.int32),
                  "best": np.array(np.inf, np.float32)})
+            restored = ocp.StandardCheckpointer().restore(
+                os.path.abspath(args.pretrained), abstract)
             params = restored["params"]
             print(f"warm-started params from orbax {args.pretrained}")
         else:
@@ -549,6 +554,10 @@ def test_one_epoch(eval_step, params, dataset, batch_size: int,
         if ply_dir is not None and n_ply < max_ply:
             n_ply += _dump_eval_plys(ply_dir, epoch, batch, preds, n_ply,
                                      max_ply)
+    # the eval loader is NOT rank-sharded: every process walks the full
+    # (deterministically seeded) test set, so the per-detail averages below
+    # are identical on all ranks; the loss gather is belt-and-braces for a
+    # future sharded-eval loader
     if jax.process_count() > 1:
         from jax.experimental.multihost_utils import process_allgather
         pad = np.full(max(1, len(losses_all)), np.nan, np.float32)

@@ -18,10 +18,16 @@ CAM_COLORS = [(255, 0, 0), (0, 0, 255), (0, 255, 0), (255, 0, 255),
 
 
 def auto_cam_size(im_poses) -> float:
-    """10% of the camera-center bounding-box diagonal
-    (ref dust3r/viz.py:114-115)."""
+    """10% of the median pairwise camera-center distance
+    (ref dust3r/viz.py:114-115, utils/geometry.py:359-361) — robust to a
+    single far-outlier camera, unlike a bbox diagonal."""
     centers = np.asarray(im_poses)[:, :3, 3]
-    return float(0.1 * np.linalg.norm(centers.max(0) - centers.min(0)))
+    if len(centers) < 2:
+        return 0.1
+    diffs = centers[:, None, :] - centers[None, :, :]
+    dists = np.linalg.norm(diffs, axis=-1)
+    iu = np.triu_indices(len(centers), k=1)
+    return float(0.1 * np.median(dists[iu]))
 
 
 def segment_sky(image: np.ndarray) -> np.ndarray:
@@ -171,8 +177,10 @@ class SceneViz:
         def get(arr, i):
             return None if arr is None else arr[i]
         for i, pose in enumerate(poses):
-            self.add_camera(pose, get(focals, i),
-                            color=(get(colors, i) or CAM_COLORS[i % len(CAM_COLORS)]),
+            color = get(colors, i)  # may be an array row — no `or` truthiness
+            if color is None:
+                color = CAM_COLORS[i % len(CAM_COLORS)]
+            self.add_camera(pose, get(focals, i), color=color,
                             image=get(images, i), imsize=get(imsizes, i), **kw)
         return self
 
@@ -192,7 +200,10 @@ class SceneViz:
         """Write the GLB; open an open3d viewer when available (the
         reference pops a trimesh window, dust3r/viz.py:154-155)."""
         import tempfile
-        path = path or tempfile.mktemp(suffix=".glb")
+        if path is None:
+            fd = tempfile.NamedTemporaryFile(suffix=".glb", delete=False)
+            path = fd.name
+            fd.close()
         self.save_glb(path)
         try:
             import open3d as o3d  # pragma: no cover - not in this image

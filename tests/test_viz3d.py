@@ -101,3 +101,30 @@ def test_aligner_mask_sky_and_show(tmp_path):
     out_glb = read_glb(path)
     assert any(p["mode"] == 0 for p in out_glb["primitives"])
     assert any(p["mode"] == 4 for p in out_glb["primitives"])
+
+
+def test_add_cameras_accepts_numpy_colors():
+    """Regression: numpy color rows must not hit `or` truthiness (the
+    reference SceneViz.add_cameras indexes a to_numpy(colors) array)."""
+    import numpy as np
+
+    poses = np.stack([np.eye(4, dtype=np.float32)] * 3)
+    poses[:, 0, 3] = [0.0, 0.5, 1.0]
+    viz = SceneViz()
+    viz.add_cameras(poses, focals=[100.0] * 3,
+                    colors=np.array([[255, 0, 0]] * 3, np.uint8),
+                    cam_size=0.1)
+    viz.add_cameras(poses, focals=[100.0] * 3, cam_size=0.1)  # default colors
+    assert len(viz._meshes) == 6
+
+
+def test_auto_cam_size_median_pairwise():
+    """Matches ref dust3r/viz.py:114-115: 0.1 * median pairwise distance —
+    robust to one far-outlier camera (a bbox diagonal is not)."""
+    import numpy as np
+
+    poses = np.stack([np.eye(4, dtype=np.float32)] * 4)
+    poses[:, :3, 3] = [[0, 0, 0], [1, 0, 0], [0, 1, 0], [100, 0, 0]]
+    from scipy.spatial.distance import pdist
+    expect = 0.1 * np.median(pdist(poses[:, :3, 3]))
+    assert abs(auto_cam_size(poses) - expect) < 1e-6

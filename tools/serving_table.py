@@ -52,7 +52,7 @@ def main():
     ap.add_argument("--out", default=None, help="write markdown here")
     args = ap.parse_args()
 
-    configs = CONFIGS[2:4] if args.quick else CONFIGS
+    configs = CONFIGS[3:5] if args.quick else CONFIGS
     recs = [run_config(lbl, a) for lbl, a in configs]
 
     lines = ["| configuration | FPS | ms/frame | MFU |",
