@@ -97,12 +97,14 @@ def get_all_pts3d_t(gts: Dict, preds: Dict, norm_mode: bool = True,
             gt_pts, gt_factor = normalize_gt_t(gt_pts, valids, fix_first)
 
     if shift_inv:
-        # subtract the joint masked median depth (ref loss.py:294-322)
+        # subtract the joint masked median depth (ref loss.py:294-322); the
+        # statistics are gradient-stopped like the reference's
+        # @torch.no_grad() get_joint_pointcloud_depth (loss.py:87)
         gt_z = jnp.stack([g[..., 2] for g in gt_pts])               # (T,B,H,W)
         pr_z = jnp.stack([p[..., 2] for p in pr_l] + [pr_r[-1][..., 2]])
-        vm = jnp.stack(valids)
-        gt_shift = _joint_depth_median(gt_z, vm)
-        pr_shift = _joint_depth_median(pr_z, jnp.stack(valids[:t - 1] + [valids[-1]]))
+        vm = jnp.stack(valids)  # pred frames 0..t-2 then t-1 = same order
+        gt_shift = jax.lax.stop_gradient(_joint_depth_median(gt_z, vm))
+        pr_shift = jax.lax.stop_gradient(_joint_depth_median(pr_z, vm))
         monitoring["gt_shift_z"] = gt_shift
         monitoring["pred_shift_z"] = pr_shift
         gt_pts = [g.at[..., 2].add(-gt_shift[:, None, None]) for g in gt_pts]
@@ -110,10 +112,12 @@ def get_all_pts3d_t(gts: Dict, preds: Dict, norm_mode: bool = True,
         pr_r = [p.at[..., 2].add(-pr_shift[:, None, None]) for p in pr_r]
 
     if scale_inv:
-        # median-center / median-norm scale alignment (ref loss.py:325-364)
-        gt_scale_v = _joint_center_scale(gt_pts, valids)
-        pr_scale_v = _joint_center_scale(pr_l + [pr_r[-1]],
-                                         valids[:t - 1] + [valids[-1]])
+        # median-center / median-norm scale alignment (ref loss.py:325-364);
+        # gradient-stopped like @torch.no_grad() get_joint_pointcloud_
+        # center_scale (loss.py:106)
+        gt_scale_v = jax.lax.stop_gradient(_joint_center_scale(gt_pts, valids))
+        pr_scale_v = jax.lax.stop_gradient(
+            _joint_center_scale(pr_l + [pr_r[-1]], valids))
         pr_scale_v = jnp.clip(pr_scale_v, 1e-3, 1e3)
         monitoring["gt_scale"] = gt_scale_v
         monitoring["pred_scale"] = pr_scale_v
@@ -198,6 +202,10 @@ def conf_loss_t(gts: Dict, preds: Dict, alpha: float = 0.4, **kw):
     for loss, mask, conf in zip(losses, masks, confs):
         logc = jnp.log(conf)
         cl = masked_mean(loss * conf - alpha * logc, mask)
+        # a frame with zero valid pixels contributes 0, not NaN (ref
+        # loss.py:284 `conf_loss.mean() if conf_loss.numel() > 0 else 0`);
+        # conf_mean below is left unguarded like the reference's conf_sum
+        cl = jnp.where(jnp.any(mask), cl, 0.0)
         conf_losses.append(cl)
         conf_sum = conf_sum + masked_mean(conf, mask)
     conf_losses = jnp.stack(conf_losses) * 2.0

@@ -73,6 +73,18 @@ def croco_forward(params, img1: jax.Array, img2: jax.Array, mask: jax.Array,
     b, h, w, _ = img1.shape
     n_patches = int(mask.shape[1])
     n_vis = n_patches - int(mask_ratio * n_patches)  # static
+    if not isinstance(mask, jax.core.Tracer):
+        # n_vis is static (from mask_ratio), so a mask built with a
+        # DIFFERENT ratio would silently gather the wrong token count;
+        # validate whenever the mask is concrete
+        import numpy as _np
+        counts = _np.asarray(mask).sum(axis=1)
+        if not (counts == n_patches - n_vis).all():
+            raise ValueError(
+                f"mask rows carry {sorted(set(counts.tolist()))} masked "
+                f"tokens but mask_ratio={mask_ratio} implies "
+                f"{n_patches - n_vis}; build the mask with random_mask(..., "
+                f"mask_ratio) matching this argument")
 
     # encode visible patches of img1 (gathered to a fixed width)
     x1, pos = patch_embed_apply(params["patch_embed"],

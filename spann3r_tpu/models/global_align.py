@@ -263,20 +263,22 @@ class GlobalAligner:
         for k, (i, j) in enumerate(self.edges):
             conf[i] = np.maximum(conf[i], self.conf_i[k])
             conf[j] = np.maximum(conf[j], self.conf_j[k])
+        for i, sky in getattr(self, "_sky_masks", {}).items():
+            conf[i][sky] = 0.0
         return conf > self.min_conf_thr
 
     def mask_sky(self, imgs) -> "GlobalAligner":
-        """Copy of the aligner with sky pixels' confidence zeroed
-        (ref dust3r/cloud_opt/base_opt.py:320-326).  imgs: per-image RGB
-        arrays in [0,1] or uint8."""
+        """Copy of the aligner with sky pixels' per-image confidence zeroed
+        (ref dust3r/cloud_opt/base_opt.py:320-326 zeroes im_conf — the MASK
+        source — never the edge weights conf_i/conf_j, which feed the
+        energy through log and would go -inf).  imgs: per-image RGB arrays
+        in [0,1] or uint8."""
         import copy
 
         from ..utils.viz3d import segment_sky
         res = copy.deepcopy(self)
-        sky = [segment_sky(np.asarray(im)) for im in imgs]
-        for k, (i, j) in enumerate(res.edges):
-            res.conf_i[k][sky[i]] = 0.0
-            res.conf_j[k][sky[j]] = 0.0
+        res._sky_masks = {i: segment_sky(np.asarray(im))
+                          for i, im in enumerate(imgs)}
         return res
 
     def show(self, imgs=None, cam_size: float = None, path: str = None) -> str:

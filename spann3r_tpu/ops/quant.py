@@ -35,12 +35,15 @@ def quantize_linear_weights(params, min_dim: int = 512):
     Eligible: dict nodes holding a 2-D (in, out) or 3-D stacked (L, in,
     out) 'w' whose last two dims are both >= min_dim — i.e. the
     transformer matrices; 4-D conv kernels (consumed by conv2d, which has
-    no dequant path), heads, and biases stay in full precision.  Returns a
-    new pytree; the input is not mutated.
+    no dequant path), head subtrees (keys starting with "head" — they
+    regress the output directly and stay full precision, matching the
+    fp32-heads policy), and biases are untouched.  Returns a new pytree;
+    the input is not mutated.
     """
     def walk(node):
         if isinstance(node, dict):
-            out = {k: walk(v) for k, v in node.items()}
+            out = {k: (v if k.startswith("head") else walk(v))
+                   for k, v in node.items()}
             w = node.get("w")
             if (w is not None and hasattr(w, "ndim") and w.ndim in (2, 3)
                     and w.shape[-2] >= min_dim and w.shape[-1] >= min_dim):

@@ -85,3 +85,20 @@ def test_aligner_outputs_shapes(rng):
     assert aligner.get_depthmaps().shape == (N, H, W)
     assert aligner.get_masks().dtype == bool
     np.testing.assert_allclose(aligner.get_im_poses()[0], np.eye(4), atol=1e-6)
+
+
+def test_mask_sky_keeps_energy_finite(rng):
+    """Regression: mask_sky must zero the per-image MASK confidence, not the
+    edge weights conf_i/conf_j that feed the energy through log (ref
+    base_opt.py:320-326 zeroes im_conf only)."""
+    output, _ = _make_scene(rng)
+    aligner = global_aligner(output)
+    h, w = aligner.h, aligner.w
+    imgs = [np.zeros((h, w, 3), np.float32) for _ in range(aligner.n_imgs)]
+    imgs[0][: h // 2] = [0.4, 0.6, 1.0]  # sky-blue top half
+    masked = aligner.mask_sky(imgs)
+    # optimization weights untouched -> energy stays finite
+    for a, b in zip(masked.conf_i, aligner.conf_i):
+        np.testing.assert_array_equal(a, b)
+    loss0 = masked.optimize(niter=2, lr=0.01)
+    assert np.isfinite(float(loss0))

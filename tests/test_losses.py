@@ -153,3 +153,36 @@ def test_masked_stats_match_torch_nan(rng):
     np.testing.assert_allclose(np.asarray(q),
                                torch.nanquantile(xt, 0.3, dim=-1).numpy(),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_conf_loss_empty_frame_contributes_zero(rng):
+    """A frame with zero valid pixels yields 0, not NaN (ref loss.py:284
+    `conf_loss.mean() if conf_loss.numel() > 0 else 0`)."""
+    gts, preds = _make_data(rng)
+    gts["valid_mask"][1] = False  # frame 1 entirely invalid for all samples
+    loss, details, factor = L.conf_loss_t(gts, preds, alpha=0.4,
+                                          norm_mode=True)
+    assert np.isfinite(float(loss)), float(loss)
+    # gradient stays finite too (0-contribution, not NaN-poisoned)
+    import jax
+    g = jax.grad(lambda p: L.conf_loss_t(
+        gts, {**preds, "pts3d_1": p}, alpha=0.4, norm_mode=True)[0])(
+        jnp.asarray(preds["pts3d_1"]))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_shift_scale_stats_are_gradient_stopped(rng):
+    """ShiftInv/ScaleInv alignment statistics carry no gradient (ref
+    @torch.no_grad() get_joint_pointcloud_depth/center_scale)."""
+    import jax
+    gts, preds = _make_data(rng)
+    preds = {k: jnp.asarray(v) for k, v in preds.items()}
+
+    def loss_with(p1):
+        gt_pts, pr_l, pr_r, *_ = L.get_all_pts3d_t(
+            gts, {**preds, "pts3d_1": p1}, norm_mode=False,
+            shift_inv=True, scale_inv=True, gt_scale=True)
+        return sum(jnp.sum(p ** 2) for p in pr_l)
+
+    g = jax.grad(loss_with)(jnp.asarray(preds["pts3d_1"]))
+    assert np.isfinite(np.asarray(g)).all()

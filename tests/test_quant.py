@@ -87,3 +87,18 @@ def test_pair_step_outputs_close(rng):
     got = np.asarray(fwd(qparams))
     # bf16 forward with int8 weights: same scene structure, small drift
     assert np.median(np.abs(got - ref)) < 0.05 * (np.median(np.abs(ref)) + 1)
+
+
+def test_head_subtrees_not_quantized():
+    """Output-regressing heads stay full precision (fp32-heads policy)."""
+    import jax.numpy as jnp
+
+    params = {"dust3r": {
+        "head1": {"proj": {"w": jnp.zeros((768, 1024)), "b": jnp.zeros((1024,))}},
+        "head2": {"proj": {"w": jnp.zeros((768, 1024))}},
+        "dec_embed": {"w": jnp.zeros((1024, 768))},
+    }}
+    out = quantize_linear_weights(params)
+    assert "w" in out["dust3r"]["head1"]["proj"]
+    assert "w" in out["dust3r"]["head2"]["proj"]
+    assert "w_q" in out["dust3r"]["dec_embed"]
