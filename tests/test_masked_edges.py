@@ -40,10 +40,13 @@ def test_masked_stats_match_torch_nan_ops():
     assert np.isnan(got_q[2])
 
 
-def test_all_invalid_frame_fails_loudly_in_loss():
-    """An all-invalid sample propagates NaN into the sequence loss so the
-    trainer's per-step finiteness check aborts, instead of silently
-    optimizing against a finfo.max-shifted target."""
+def test_all_invalid_frames_contribute_zero_loss():
+    """Frames with zero valid pixels contribute 0 to the training loss —
+    reference ConfLoss_t semantics (spann3r/loss.py:284: the masked
+    selection is empty, so `conf_loss.mean() if numel > 0 else 0`).  The
+    fail-loudly NaN behaviour lives in the EVAL alignment path
+    (masked_median/masked_quantile, tested above), where silently
+    substituting finfo.max would corrupt chamfer numbers."""
     import jax.numpy as jnp
     from spann3r_tpu import losses as L
 
@@ -58,4 +61,4 @@ def test_all_invalid_frame_fails_loudly_in_loss():
              "conf_1": jnp.ones((t - 1, b, h, w), jnp.float32) + 1,
              "conf_2": jnp.ones((t - 1, b, h, w), jnp.float32) + 1}
     loss, _, _ = L.conf_loss_t(gts, preds, alpha=0.4, norm_mode=True)
-    assert not np.isfinite(float(loss))
+    assert float(loss) == 0.0
