@@ -170,23 +170,37 @@ def main():
     dev = jax.devices()[0]
     peak = PEAK_BF16.get(dev.device_kind, 197e12)
 
-    carry = init_video_carry(cfg, hw, b, prec)
+    def timed_run(per_chunk_sync: bool) -> float:
+        nonlocal_carry = init_video_carry(cfg, hw, b, prec)
+        t0 = time.perf_counter()
+        outs = []
+        for ch in chunks:
+            nonlocal_carry, ys = scan(params, nonlocal_carry, ch, valid)
+            if per_chunk_sync:
+                sync(ys)
+            outs.append(ys)
+        sync(outs[-1])  # waits for the whole carry-chained pipeline
+        return time.perf_counter() - t0
+
     prof = None
     if args.profile:
         import jax.profiler as prof_mod
         prof_mod.start_trace(args.profile)
         prof = prof_mod
-    t0 = time.perf_counter()
-    outs = []
-    for ch in chunks:
-        carry, ys = scan(params, carry, ch, valid)
-        if args.sync_per_chunk:
-            sync(ys)
-        outs.append(ys)
-    sync(outs[-1])  # waits for the whole carry-chained pipeline
-    elapsed = time.perf_counter() - t0
+    elapsed = timed_run(per_chunk_sync=args.sync_per_chunk)
     if prof is not None:
         prof.stop_trace()
+
+    sync_mode = "per_chunk" if args.sync_per_chunk else "final"
+    if not args.sync_per_chunk:
+        # Guard against the tunnel's chained-dispatch timing anomaly
+        # (CLAUDE.md: a final-element fetch of a carry-chained pipeline once
+        # returned impossibly fast).  Re-time with a per-chunk one-element
+        # sync — ~1 extra RTT per chunk, a few % — and if the final-sync
+        # number is implausibly faster, report the trustworthy one.
+        elapsed_pc = timed_run(per_chunk_sync=True)
+        if elapsed < elapsed_pc * 0.75:
+            elapsed, sync_mode = elapsed_pc, "per_chunk_fallback"
 
     fps = n_frames * b / elapsed
     ms_per_frame = elapsed / n_frames * 1e3
@@ -201,7 +215,7 @@ def main():
         "streams": b,
         "precision": ("int8" if args.int8 else
                       "bf16_fast" if args.bf16_heads else "bf16"),
-        "sync": "per_chunk" if args.sync_per_chunk else "final",
+        "sync": sync_mode,
     }))
 
 

@@ -19,6 +19,9 @@ def get_args_parser():
     p.add_argument("--scenegraph_type", type=str, default="complete")
     p.add_argument("--offline", action="store_true")
     p.add_argument("--resolution", type=int, default=224)
+    # NOTE: parsed but unused, faithfully mirroring the reference's own dead
+    # argument (ref eval.py:22 defines it; the eval protocol filters by
+    # valid_mask only, never by confidence)
     p.add_argument("--conf_thresh", type=float, default=0.0)
     p.add_argument("--fp32", action="store_true")
     return p
@@ -102,7 +105,7 @@ def evaluate_scene(params, cfg, prec, batch, args):
     masks = ordered["valid_mask"][:, 0]
     colors = (ordered["img"][:, 0] + 1.0) / 2.0
     return (np.stack(pts_aligned), np.stack(gt_aligned), masks, colors, fps,
-            preds, order)
+            preds, order, conf_seq)
 
 
 def main(args):
@@ -134,6 +137,7 @@ def main(args):
         log_file = osp.join(save_path, "logs.txt")
         sums = np.zeros(8)
         fps_all = []
+        warmed = False
 
         for i in range(len(dataset)):
             views = dataset[i]
@@ -142,8 +146,18 @@ def main(args):
                       f"keyframe(s) at this kf_every")
                 continue
             batch = collate_views([views])
+            if not warmed and not args.offline:
+                # compile the chunked scan programs on the first scene's
+                # shapes OUTSIDE the per-scene clock, so logged FPS is
+                # steady-state like the reference's eager numbers
+                # (reconstruct_video's fps otherwise includes first-call jit)
+                from spann3r_tpu.api import reconstruct_video
+                # >=17 frames so chunk=min(16,T) resolves to the same
+                # chunk-16 program the timed runs will use
+                reconstruct_video(params, cfg, batch["img"][:17], prec)
+                warmed = True
             print(f"Started reconstruction for {name} {i + 1}/{len(dataset)}")
-            pts, gts, masks, colors, fps, _, _ = evaluate_scene(
+            pts, gts, masks, colors, fps, _, _, conf = evaluate_scene(
                 params, cfg, prec, batch, args)
             fps_all.append(fps)
             print(f"Finished {name} {i + 1}/{len(dataset)}, FPS: {fps:.2f}")
@@ -153,6 +167,15 @@ def main(args):
             scene_id = views[0]["label"].rsplit("/", 1)[0].replace("/", "_")
             write_ply(osp.join(save_path, f"{scene_id}-mask.ply"), pts_m, col_m)
             write_ply(osp.join(save_path, f"{scene_id}-gt.ply"), gts_m, col_m)
+            # per-scene tensor dump, same artifact contract as the reference
+            # (ref eval.py:168-180: dict of aligned pred/gt pointmaps, [0,1]
+            # images, masks, conf, np.save'd as {scene_id}.npy)
+            np.save(osp.join(save_path, f"{scene_id}.npy"),
+                    {"images_all": colors.astype(np.float32),
+                     "pts_all": pts.astype(np.float32),
+                     "pts_gt_all": gts.astype(np.float32),
+                     "masks_all": np.asarray(masks),
+                     "conf_all": conf.astype(np.float32)})
 
             threshold = 100 if name == "DTU" else 0.1
             trans = registration_icp(pts_m.reshape(-1, 3),

@@ -73,12 +73,20 @@ def croco_forward(params, img1: jax.Array, img2: jax.Array, mask: jax.Array,
     b, h, w, _ = img1.shape
     n_patches = int(mask.shape[1])
     n_vis = n_patches - int(mask_ratio * n_patches)  # static
-    if not isinstance(mask, jax.core.Tracer):
-        # n_vis is static (from mask_ratio), so a mask built with a
-        # DIFFERENT ratio would silently gather the wrong token count;
-        # validate whenever the mask is concrete
-        import numpy as _np
-        counts = _np.asarray(mask).sum(axis=1)
+    # n_vis is static (from mask_ratio), so a mask built with a DIFFERENT
+    # ratio would silently gather the wrong token count; validate whenever
+    # the mask is concrete.  np.asarray raises on tracers (no internal-API
+    # Tracer check); the host fetch is (B, N) bools — tiny — and skippable
+    # via SPANN3R_SKIP_MASK_CHECK=1 for hot eager loops.
+    import os as _os
+    import numpy as _np
+    counts = None
+    if not _os.environ.get("SPANN3R_SKIP_MASK_CHECK"):
+        try:
+            counts = _np.asarray(mask).sum(axis=1)
+        except Exception:  # abstract tracer under jit — shapes checked by jax
+            counts = None
+    if counts is not None:
         if not (counts == n_patches - n_vis).all():
             raise ValueError(
                 f"mask rows carry {sorted(set(counts.tolist()))} masked "

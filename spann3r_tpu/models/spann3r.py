@@ -326,20 +326,24 @@ class InferenceEngine:
         self._encode = jax.jit(
             lambda p, img: d3.encode_image(p["dust3r"], _prep(img), dcfg, prec))
 
-        def fused(p, mem, feat1, feat_k2, img2, first):
+        def fused(p, mem, feat1, feat_k2, img2, first, compute_res2):
             feat2, pos = d3.encode_image(p["dust3r"], _prep(img2), dcfg, prec)
             if first:
                 feat_fuse = feat1
             else:
                 feat_fuse, mem = memory_read(_memory_norms(p), mem, feat_k2,
                                              attn_thresh=cfg.memory.attn_thresh)
-            out = pair_step(p, cfg, feat_fuse, feat1, feat2, pos, img_hw, prec)
+            out = pair_step(p, cfg, feat_fuse, feat1, feat2, pos, img_hw, prec,
+                            compute_res2=compute_res2)
             mem = add_mem_check(mem, out.feat_k1, out.cur_v + out.feat_k1,
                                 cfg.memory)
             return mem, feat2, out
 
-        self._fused = jax.jit(fused, static_argnames=("first",),
+        self._fused = jax.jit(fused,
+                              static_argnames=("first", "compute_res2"),
                               donate_argnums=(1,))
+        self._head2_jit = jax.jit(lambda p, hs: head2_from_hooks(
+            p, cfg, hs, img_hw, prec))
         # kept for offline mode / tests that drive the pieces directly
         self._read = jax.jit(
             lambda p, mem, q: memory_read(_memory_norms(p), mem, q,
@@ -356,6 +360,7 @@ class InferenceEngine:
                                dtype=self.prec.compute_dtype)
         self._feat_prev = None
         self._feat_k2 = None
+        self._last_hooks = None
 
     def encode(self, img: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """img: (B, H, W, 3) normalized (or uint8)."""
@@ -365,9 +370,19 @@ class InferenceEngine:
         """Start an async host->device transfer of one frame."""
         return jax.device_put(frame)
 
-    def step(self, img: jax.Array) -> Optional[Dict[str, jax.Array]]:
+    def step(self, img: jax.Array,
+             want_res2: bool = False) -> Optional[Dict[str, jax.Array]]:
         """Feed the next frame; returns the prediction pair for
-        (previous, current) frames, or None on the very first frame."""
+        (previous, current) frames, or None on the very first frame.
+
+        The target-frame (res2) DPT head is DEFERRED by default — every
+        res2 but the last is discarded in the reference preds contract
+        (spann3r/model.py:523-534), and the head costs ~1.8 ms/frame — so
+        the step carries the decoder hook states instead and "res2" is
+        None.  Call `target_prediction()` (or pass want_res2=True) to run
+        the head on the latest states when a mid-stream target prediction
+        is actually needed.
+        """
         if self._feat_prev is None:
             self._feat_prev, _ = self.encode(img)
             return None
@@ -376,19 +391,30 @@ class InferenceEngine:
                              self.prec.compute_dtype)
                    if first else self._feat_k2)
         self.mem, self._feat_prev, out = self._fused(
-            self.params, self.mem, self._feat_prev, feat_k2, img, first)
+            self.params, self.mem, self._feat_prev, feat_k2, img, first,
+            compute_res2=False)
         self._feat_k2 = out.feat_k2
-        return {"res1": out.res1, "res2": out.res2}
+        self._last_hooks = out.dec2_hooks
+        return {"res1": out.res1,
+                "res2": self.target_prediction() if want_res2 else None}
+
+    def target_prediction(self) -> Optional[Dict[str, jax.Array]]:
+        """res2 (current-frame prediction) from the carried decoder hook
+        states — the deferred head, run on demand."""
+        if self._last_hooks is None:
+            return None
+        return self._head2_jit(self.params, self._last_hooks)
 
     def run(self, frames) -> list:
         """frames: (T, B, H, W, 3) array or list of (B, H, W, 3).
 
         Returns the reference-style `preds` list: one dict per frame, all
         pointmaps in frame-0 coordinates (ref spann3r/model.py:523-534).
+        The target head runs ONCE at end-of-stream on the carried hook
+        states (every earlier res2 is discarded by this contract anyway).
         """
         self.reset()
         preds = []
-        last_res2 = None
         pending = self.put_frame(frames[0])
         for i in range(len(frames)):
             cur, pending = pending, (self.put_frame(frames[i + 1])
@@ -396,13 +422,13 @@ class InferenceEngine:
             out = self.step(cur)
             if out is None:
                 continue
-            res1, res2 = out["res1"], out["res2"]
+            res1 = out["res1"]
             if not preds:
                 preds.append({"pts3d": res1["pts3d"], "conf": res1["conf"]})
             else:
                 preds.append({"pts3d_in_other_view": res1["pts3d"],
                               "conf": res1["conf"]})
-            last_res2 = res2
+        last_res2 = self.target_prediction()
         if last_res2 is not None:
             preds.append({"pts3d_in_other_view": last_res2["pts3d"],
                           "conf": last_res2["conf"]})

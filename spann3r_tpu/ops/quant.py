@@ -37,12 +37,15 @@ def quantize_linear_weights(params, min_dim: int = 512):
     transformer matrices; 4-D conv kernels (consumed by conv2d, which has
     no dequant path), head subtrees (keys starting with "head" — they
     regress the output directly and stay full precision, matching the
-    fp32-heads policy), and biases are untouched.  Returns a new pytree;
+    fp32-heads policy; "attn_head_*" too, since their outputs drive the
+    memory-dedup cosine test against sim_thresh where small drift can flip
+    keep/skip decisions), and biases are untouched.  Returns a new pytree;
     the input is not mutated.
     """
     def walk(node):
         if isinstance(node, dict):
-            out = {k: (v if k.startswith("head") else walk(v))
+            out = {k: (v if (k.startswith("head")
+                             or k.startswith("attn_head")) else walk(v))
                    for k, v in node.items()}
             w = node.get("w")
             if (w is not None and hasattr(w, "ndim") and w.ndim in (2, 3)

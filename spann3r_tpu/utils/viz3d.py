@@ -147,16 +147,19 @@ class SceneViz:
         else:
             m = None
             sel = pts
-        col = np.asarray(color, np.float32)
+        col_in = np.asarray(color)
+        # uint8-vs-float is decided by DTYPE, not value range: (0, 0, 1)
+        # uint8 is near-black, not full blue
+        int_scale = 255.0 if np.issubdtype(col_in.dtype, np.integer) else 1.0
+        col = col_in.astype(np.float32)
         if col.size <= 4:  # single color
-            cols = np.tile(col.reshape(-1)[:3] / (255.0 if col.max() > 1 else 1.0),
-                           (len(sel), 1))
+            cols = np.tile(col.reshape(-1)[:3] / int_scale, (len(sel), 1))
         else:
             if isinstance(color, (list, tuple)):
                 col = np.concatenate([np.asarray(c, np.float32).reshape(-1, 3)
                                       for c in color])
-            cols = col.reshape(-1, 3)
-            if cols.max() > 1:
+            cols = col.reshape(-1, 3) / int_scale
+            if cols.max() > 1:  # float arrays in 0-255 convention
                 cols = cols / 255.0
             if m is not None:
                 cols = cols[m]

@@ -77,9 +77,20 @@ def test_eval_cli_end_to_end(seven_scenes_root, tmp_path, monkeypatch):
     assert osp.exists(log)
     content = open(log).read()
     assert "Accuracy" in content and "Average fps" in content
-    plys = [f for f in os.listdir(osp.join(str(tmp_path), "test", "7scenes"))
-            if f.endswith(".ply")]
+    save_dir = osp.join(str(tmp_path), "test", "7scenes")
+    plys = [f for f in os.listdir(save_dir) if f.endswith(".ply")]
     assert len(plys) >= 2  # pred + gt
+    # per-scene tensor dump (ref eval.py:168-180 artifact contract)
+    npys = [f for f in os.listdir(save_dir) if f.endswith(".npy")]
+    assert npys, "per-scene .npy dump missing"
+    d = np.load(osp.join(save_dir, npys[0]), allow_pickle=True).item()
+    assert set(d) == {"images_all", "pts_all", "pts_gt_all", "masks_all",
+                      "conf_all"}
+    t = d["pts_all"].shape[0]
+    assert d["pts_all"].shape == d["pts_gt_all"].shape == (t, 32, 32, 3)
+    assert d["images_all"].shape == (t, 32, 32, 3)
+    assert d["masks_all"].shape == d["conf_all"].shape == (t, 32, 32)
+    assert d["images_all"].min() >= 0.0 and d["images_all"].max() <= 1.0
 
 
 def test_training_driver_one_epoch(seven_scenes_root, tmp_path, monkeypatch):

@@ -97,8 +97,18 @@ def test_head_subtrees_not_quantized():
         "head1": {"proj": {"w": jnp.zeros((768, 1024)), "b": jnp.zeros((1024,))}},
         "head2": {"proj": {"w": jnp.zeros((768, 1024))}},
         "dec_embed": {"w": jnp.zeros((1024, 768))},
-    }}
+    },
+        # attn heads drive the dedup cosine test (check_sim vs sim_thresh);
+        # int8 drift could flip keep/skip decisions -> keep full precision
+        "attn_head_1": {"fc1": {"w": jnp.zeros((1792, 1792))},
+                        "fc2": {"w": jnp.zeros((1792, 1024))}},
+        "attn_head_2": {"fc1": {"w": jnp.zeros((1792, 1792))},
+                        "fc2": {"w": jnp.zeros((1792, 1024))}},
+    }
     out = quantize_linear_weights(params)
     assert "w" in out["dust3r"]["head1"]["proj"]
     assert "w" in out["dust3r"]["head2"]["proj"]
     assert "w_q" in out["dust3r"]["dec_embed"]
+    for ah in ("attn_head_1", "attn_head_2"):
+        for fc in ("fc1", "fc2"):
+            assert "w" in out[ah][fc] and "w_q" not in out[ah][fc]
