@@ -527,22 +527,72 @@ def _dump_eval_plys(out_dir: str, epoch: int, batch, preds, start_idx: int,
     return written
 
 
+def _eval_rank_indices(n: int, world: int, rank: int) -> list:
+    """Strided deterministic partition of the eval set: rank r evaluates
+    items r, r+world, r+2*world, ...  The union over ranks is exactly
+    range(n) with no overlap, so merged stats equal the unsharded run."""
+    return list(range(rank, n, world))
+
+
+def _merge_eval_stats(losses_all, detail_sums, world: int,
+                      gather_fn=None) -> Dict[str, float]:
+    """Cross-host merge of per-rank eval results into global stats.
+
+    losses_all: this rank's per-batch losses; detail_sums: this rank's
+    summed per-detail values.  gather_fn(np_array) -> (world, ...) stacked
+    array (defaults to multihost process_allgather); injectable so the
+    merge is testable on a single process."""
+    if world > 1:
+        if gather_fn is None:
+            from jax.experimental.multihost_utils import process_allgather
+            gather_fn = process_allgather
+        # ragged per-rank batch counts: NaN-pad losses to a common width
+        # agreed via a gathered count
+        counts = np.asarray(gather_fn(np.asarray([len(losses_all)],
+                                                 np.int32))).ravel()
+        width = int(counts.max()) if counts.size else 0
+        pad = np.full(max(1, width), np.nan, np.float32)
+        pad[:len(losses_all)] = losses_all
+        gathered = np.asarray(gather_fn(pad)).ravel()
+        losses_all = gathered[np.isfinite(gathered)].tolist()
+        names = sorted(detail_sums)
+        if names:
+            vals = np.asarray([detail_sums[k] for k in names], np.float32)
+            summed = np.asarray(gather_fn(vals)).reshape(world, -1).sum(0)
+            detail_sums = dict(zip(names, summed.tolist()))
+    if not losses_all:
+        return {}
+    stats = {"loss_avg": float(np.mean(losses_all)),
+             "loss_med": float(np.median(losses_all))}
+    n = max(len(losses_all), 1)
+    stats.update({k: v / n for k, v in detail_sums.items()})
+    return stats
+
+
 def test_one_epoch(eval_step, params, dataset, batch_size: int,
                    output_dir: Optional[str] = None, epoch: int = 0,
-                   max_ply: int = 10) -> Dict[str, float]:
+                   max_ply: int = 10, gather_fn=None) -> Dict[str, float]:
     """Seeded held-out eval tracking mean + median loss plus per-detail loss
     meters, all-reduced across hosts; optionally dumps the first `max_ply`
-    reconstructions as PLYs (ref training.py:94-168, misc.py:45-56)."""
+    reconstructions as PLYs (ref training.py:94-168, misc.py:45-56).
+
+    The eval set is rank-sharded (strided partition): each host walks only
+    its slice and the per-batch losses / detail sums are allgathered, so
+    the merged stats equal the single-host run while the wall time divides
+    by the host count."""
     if hasattr(dataset, "set_epoch"):
         # epoch-resized ("N @ ds") eval sets resample per epoch; eval
         # datasets carry a fixed seed so the selection stays deterministic
         # (ref training.py:107-110)
         dataset.set_epoch(epoch)
-    loader = DataLoader(dataset, batch_size, num_workers=1)
+    world = jax.process_count()
+    rank = jax.process_index()
+    sampler = _eval_rank_indices(len(dataset), world, rank)
+    loader = DataLoader(dataset, batch_size, sampler=sampler, num_workers=1)
     losses_all = []
     detail_sums: Dict[str, float] = {}
     ply_dir = None
-    if output_dir is not None and jax.process_index() == 0 and max_ply > 0:
+    if output_dir is not None and rank == 0 and max_ply > 0:
         ply_dir = os.path.join(output_dir, "eval_ply")
         os.makedirs(ply_dir, exist_ok=True)
     n_ply = 0
@@ -554,20 +604,4 @@ def test_one_epoch(eval_step, params, dataset, batch_size: int,
         if ply_dir is not None and n_ply < max_ply:
             n_ply += _dump_eval_plys(ply_dir, epoch, batch, preds, n_ply,
                                      max_ply)
-    # the eval loader is NOT rank-sharded: every process walks the full
-    # (deterministically seeded) test set, so the per-detail averages below
-    # are identical on all ranks; the loss gather is belt-and-braces for a
-    # future sharded-eval loader
-    if jax.process_count() > 1:
-        from jax.experimental.multihost_utils import process_allgather
-        pad = np.full(max(1, len(losses_all)), np.nan, np.float32)
-        pad[:len(losses_all)] = losses_all
-        gathered = np.asarray(process_allgather(pad)).ravel()
-        losses_all = gathered[np.isfinite(gathered)].tolist()
-    if not losses_all:
-        return {}
-    stats = {"loss_avg": float(np.mean(losses_all)),
-             "loss_med": float(np.median(losses_all))}
-    n = max(len(loader), 1)
-    stats.update({k: v / n for k, v in detail_sums.items()})
-    return stats
+    return _merge_eval_stats(losses_all, detail_sums, world, gather_fn)

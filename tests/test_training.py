@@ -95,3 +95,75 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     old = jax.tree.leaves(params)[0]
     new = jax.tree.leaves(restored["params"])[0]
     np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+
+
+class _ListDataset:
+    """Minimal eval dataset: items are lists of T view dicts."""
+
+    def __init__(self, n, rng):
+        self.items = []
+        for _ in range(n):
+            views = []
+            for _t in range(T):
+                views.append({
+                    "img": rng.standard_normal((*HW, 3)).astype(np.float32) * 0.3,
+                    "pts3d": rng.standard_normal((*HW, 3)).astype(np.float32) + 2.0,
+                    "valid_mask": np.ones(HW, dtype=bool),
+                    "camera_pose": np.eye(4, dtype=np.float32),
+                })
+            self.items.append(views)
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+def test_eval_epoch_rank_sharded_matches_unsharded(rng, monkeypatch):
+    """test_one_epoch with a 2-rank strided shard + allgather merge must
+    reproduce the single-host stats exactly (strided partition covers the
+    set with no overlap; the merge re-aggregates losses and detail sums)."""
+    cfg = tiny_cfg()
+    params = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
+    eval_step = tr.make_eval_step(cfg, FP32)
+    ds = _ListDataset(5, rng)
+
+    stats_ref = tr.test_one_epoch(eval_step, params, ds, 1, max_ply=0)
+    assert stats_ref and math.isfinite(stats_ref["loss_avg"])
+
+    # emulate 2 hosts: capture each rank's local results, then run the real
+    # merge with a scripted gather that stacks the two ranks' arrays
+    captured = []
+    real_merge = tr._merge_eval_stats
+    monkeypatch.setattr(tr, "_merge_eval_stats",
+                        lambda losses, details, world, gather_fn=None:
+                        captured.append((list(losses), dict(details))) or {})
+    monkeypatch.setattr(tr.jax, "process_count", lambda: 2)
+    for rank_v in (0, 1):
+        monkeypatch.setattr(tr.jax, "process_index", lambda r=rank_v: r)
+        tr.test_one_epoch(eval_step, params, ds, 1, max_ply=0)
+    monkeypatch.undo()
+    assert len(captured) == 2
+    (l0, d0), (l1, d1) = captured
+    # strided partition: rank 0 gets items 0,2,4; rank 1 gets 1,3
+    assert len(l0) == 3 and len(l1) == 2
+
+    names = sorted(d0)
+
+    def scripted_gather(x):
+        x = np.asarray(x)
+        if x.dtype == np.int32:                       # batch counts
+            other = np.asarray([len(l1)], np.int32)
+        elif x.shape == (len(names),):                # detail sums
+            other = np.asarray([d1[k] for k in names], np.float32)
+        else:                                         # padded losses
+            other = np.full_like(x, np.nan)
+            other[:len(l1)] = l1
+        return np.stack([x, other])
+
+    merged = real_merge(l0, d0, world=2, gather_fn=scripted_gather)
+    assert set(merged) == set(stats_ref)
+    for k in stats_ref:
+        np.testing.assert_allclose(merged[k], stats_ref[k], rtol=1e-6,
+                                   err_msg=k)
