@@ -27,6 +27,26 @@ import numpy as np
 from ..config import DUSt3RConfig, Spann3RConfig
 
 
+import re
+
+# Keys present in published checkpoints that the converter intentionally
+# does not materialize:
+#  - scratch.layer_rn.N.weight: the reference DPT scratch registers the
+#    SAME conv tensors twice (nn.ModuleList aliasing layer{N+1}_rn,
+#    ref croco/models/dpt_block.py:70-74) — duplicates, not information
+#  - mask_token: CroCo masked-pretraining token carried along by
+#    AsymmetricCroCo3DStereo but never used in DUSt3R inference/training
+#    (ref dust3r/model.py:107 lists it only for param-group bookkeeping)
+_ALIAS_OR_VESTIGIAL = (
+    re.compile(r"\.scratch\.layer_rn\.\d+\.weight$"),
+    re.compile(r"(^|\.)mask_token$"),
+)
+
+
+def is_alias_or_vestigial_key(key: str) -> bool:
+    return any(p.search(key) for p in _ALIAS_OR_VESTIGIAL)
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Read a torch .pth file into {key: float32 ndarray} without keeping
     torch tensors alive. Requires torch (CPU) at call time only."""
@@ -36,7 +56,10 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     state = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
     if hasattr(state, "state_dict"):
         state = state.state_dict()
-    return {k: v.detach().cpu().float().numpy() for k, v in state.items()
+    # DDP-saved checkpoints prefix every key with "module."; fp16/bf16
+    # tensors are upcast by .float()
+    return {(k[len("module."):] if k.startswith("module.") else k):
+            v.detach().cpu().float().numpy() for k, v in state.items()
             if hasattr(v, "detach")}
 
 
