@@ -88,36 +88,44 @@ def conv2d_transpose(p, x: jax.Array, stride: int) -> jax.Array:
     return y
 
 
+def _interp_matrix(osz: int, isz: int, align_corners: bool) -> np.ndarray:
+    """(osz, isz) bilinear interpolation matrix with torch F.interpolate's
+    source-coordinate conventions (align_corners or half-pixel)."""
+    if align_corners and osz > 1:
+        c = np.arange(osz, dtype=np.float64) * ((isz - 1) / (osz - 1))
+    else:
+        c = np.clip((np.arange(osz, dtype=np.float64) + 0.5) * (isz / osz)
+                    - 0.5, 0.0, isz - 1)
+    i0 = np.clip(np.floor(c).astype(np.int64), 0, isz - 1)
+    i1 = np.minimum(i0 + 1, isz - 1)
+    w = (c - i0).astype(np.float32)
+    m = np.zeros((osz, isz), np.float32)
+    np.add.at(m, (np.arange(osz), i0), 1.0 - w)
+    np.add.at(m, (np.arange(osz), i1), w)
+    return m
+
+
 def interpolate_bilinear(x: jax.Array, out_hw: tuple[int, int],
                          align_corners: bool = True) -> jax.Array:
     """Bilinear resize of NHWC maps replicating torch F.interpolate semantics.
 
     The DPT fusion blocks use align_corners=True (ref croco/models/dpt_block.py:215),
-    which jax.image.resize does not implement, so we gather explicitly.
+    which jax.image.resize does not implement.  TPU-first formulation:
+    separable interpolation as two small MATMULS (out = Wy @ x @ Wx^T per
+    channel) instead of gathers — gathers and especially their scatter-add
+    transpose are slow on TPU, and as matmuls both forward and backward
+    ride the MXU (profiled 67 ms/step of gather time in the B=4 training
+    step before this change).  Weights are identical to the gather
+    formulation, so numerics match to fp32 reassociation.
     """
     _, h, w, _ = x.shape
     oh, ow = out_hw
     dtype = x.dtype
     xf = x.astype(jnp.float32)
-
-    def src_coords(osz, isz):
-        if align_corners and osz > 1:
-            return jnp.arange(osz, dtype=jnp.float32) * ((isz - 1) / (osz - 1))
-        scale = isz / osz
-        c = (jnp.arange(osz, dtype=jnp.float32) + 0.5) * scale - 0.5
-        return jnp.clip(c, 0.0, isz - 1)
-
-    ys, xs = src_coords(oh, h), src_coords(ow, w)
-    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
-    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    wy = (ys - y0.astype(jnp.float32))[None, :, None, None]
-    wx = (xs - x0.astype(jnp.float32))[None, None, :, None]
-
-    top = xf[:, y0][:, :, x0] * (1 - wx) + xf[:, y0][:, :, x1] * wx
-    bot = xf[:, y1][:, :, x0] * (1 - wx) + xf[:, y1][:, :, x1] * wx
-    out = top * (1 - wy) + bot * wy
+    wy = jnp.asarray(_interp_matrix(oh, h, align_corners))
+    wx = jnp.asarray(_interp_matrix(ow, w, align_corners))
+    out = jnp.einsum("iy,byxc->bixc", wy, xf)
+    out = jnp.einsum("jx,bixc->bijc", wx, out)
     return out.astype(dtype)
 
 

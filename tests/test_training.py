@@ -167,3 +167,30 @@ def test_eval_epoch_rank_sharded_matches_unsharded(rng, monkeypatch):
     for k in stats_ref:
         np.testing.assert_allclose(merged[k], stats_ref[k], rtol=1e-6,
                                    err_msg=k)
+
+
+def test_train_step_t10(rng):
+    """The reference fine-tunes on 10-frame clips (--num_frames 10,
+    ref spann3r/training.py:49): the training scan + memory capacity
+    (t-1)*P + sequence loss must hold up at T=10."""
+    cfg = tiny_cfg()
+    params = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
+    opt = tr.make_optimizer(0.05)
+    opt_state = opt.init(params)
+    step = tr.make_train_step(cfg, FP32, opt, remat=True)
+    t10, b = 10, 2
+    batch = {
+        "img": rng.standard_normal((t10, b, *HW, 3)).astype(np.float32) * 0.3,
+        "pts3d": rng.standard_normal((t10, b, *HW, 3)).astype(np.float32) + 2.0,
+        "valid_mask": np.ones((t10, b, *HW), dtype=bool),
+        "camera_pose": np.broadcast_to(np.eye(4, dtype=np.float32),
+                                       (t10, b, 4, 4)).copy(),
+    }
+    params, opt_state, metrics = step(params, opt_state, batch,
+                                      jax.random.PRNGKey(1),
+                                      jnp.float32(1e-4), jnp.float32(0.4))
+    assert math.isfinite(float(metrics["loss"]))
+    # 9 pair predictions stacked over time
+    preds = sp.forward_train(params, jnp.transpose(
+        jnp.asarray(batch["img"]), (1, 0, 2, 3, 4)), cfg, FP32, remat=False)
+    assert preds["pts3d_1"].shape[0] == t10 - 1
