@@ -111,6 +111,10 @@ def main():
                          "(N % 128 == 0 shapes only)")
     ap.add_argument("--int8", type=int, default=0,
                     help="int8 weight-only serving (ops/quant.py)")
+    ap.add_argument("--offline", action="store_true",
+                    help="benchmark OFFLINE reconstruction (pairwise conf + "
+                         "greedy next-best-view, ref demo.py --offline) "
+                         "instead of the streaming scan")
     ap.add_argument("--sync_per_chunk", action="store_true",
                     help="fetch one element after every chunk (timing"
                          " cross-check; adds one tunnel RTT per chunk)")
@@ -148,6 +152,27 @@ def main():
 
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 256, (args.frames, b, *hw, 3)).astype(np.uint8)
+
+    if args.offline:
+        # offline mode has quadratic pairwise stages; the reference times it
+        # on ~20-frame clips (demo.py --kf_every on short videos)
+        from spann3r_tpu.models.offline import offline_reconstruction
+        n_off = min(args.frames, 20)
+        fl = (frames[:n_off, 0].astype(np.float32) / 255.0) * 2.0 - 1.0
+        offline_reconstruction(params, fl, cfg, hw, prec=prec)  # warmup/jit
+        t0 = time.perf_counter()
+        preds, _, _ = offline_reconstruction(params, fl, cfg, hw, prec=prec)
+        np.asarray(preds[-1]["pts3d_in_other_view"]).ravel()[0]
+        elapsed = time.perf_counter() - t0
+        fps = n_off / elapsed
+        print(json.dumps({
+            "metric": f"offline_recon_fps_{args.width}x{args.height}",
+            "value": round(fps, 3), "unit": "frames/s",
+            "vs_baseline": round(fps / BASELINE_FPS, 3),
+            "ms_per_frame": round(elapsed / n_off * 1e3, 3),
+            "frames": n_off, "mode": "offline",
+            "precision": "bf16_fast" if args.bf16_heads else "bf16"}))
+        return
 
     scan = jax.jit(
         lambda p, c, im, v: scan_video_chunk(p, cfg, c, im, v, hw, prec),

@@ -152,16 +152,27 @@ def head2_from_hooks(params, cfg: Spann3RConfig,
 
 def forward_train(params, frames: jax.Array, cfg: Spann3RConfig,
                   prec: Precision = BF16, rng: Optional[jax.Array] = None,
-                  remat: bool = True) -> Dict[str, jax.Array]:
+                  remat: bool = True,
+                  remat_scan: Optional[bool] = None) -> Dict[str, jax.Array]:
     """frames: (B, T, H, W, 3) -> per-pair predictions stacked over time.
 
     Training memory semantics = unconditional append, attn_thresh=0, dropout
     active when rng is given (ref spann3r/model.py:473-519, training branch).
 
+    remat_scan (default: env SPANN3R_REMAT_SCAN=1): additionally checkpoint
+    the WHOLE pair-step scan body — the backward recomputes the entire
+    decode+heads+memory step per pair instead of saving its intermediates
+    across T-1 iterations.  Costs ~one extra forward but shrinks per-
+    iteration activation memory to the carry, buying longer clips/bigger
+    batches on a 16 GB chip (B=4 x T=10 @224 only compiles this way).
+
     Returns dict of stacked arrays with leading time axis T-1:
       pts3d_1, conf_1  — reference-frame predictions (frame t  in frame-0 coords)
       pts3d_2, conf_2  — target-frame predictions   (frame t+1 in frame-0 coords)
     """
+    import os
+    if remat_scan is None:
+        remat_scan = bool(os.environ.get("SPANN3R_REMAT_SCAN"))
     b, t, h, w, _ = frames.shape
     dcfg = cfg.dust3r
     p_tokens = (h // dcfg.patch_size) * (w // dcfg.patch_size)
@@ -195,6 +206,8 @@ def forward_train(params, frames: jax.Array, cfg: Spann3RConfig,
               "pts3d_2": out.res2["pts3d"], "conf_2": out.res2["conf"]}
         return (mem, out.feat_k2), ys
 
+    if remat_scan:
+        body = jax.checkpoint(body, prevent_cse=False)
     steps = (jnp.arange(t - 1, dtype=jnp.int32), feats[:-1], feats[1:])
     (_, _), ys = jax.lax.scan(body, (mem0, feat_k2_0), steps)
     return ys

@@ -80,6 +80,9 @@ def get_args_parser() -> argparse.ArgumentParser:
                         "over the 'data' axis (parallel/mesh.py)")
     p.add_argument("--bf16", default=1, type=int)
     p.add_argument("--remat", default=1, type=int)
+    p.add_argument("--remat_scan", default=0, type=int,
+                   help="also checkpoint the whole pair-step scan body "
+                        "(needed for B=4 x T=10 @224 on 16 GB; see PERF.md)")
     p.add_argument("--profile_dir", default=None, type=str,
                    help="write a jax.profiler trace of the first train steps")
     return p
@@ -132,7 +135,8 @@ def make_optimizer(weight_decay: float) -> optax.GradientTransformation:
 
 
 def make_train_step(cfg: Spann3RConfig, prec: Precision, opt, remat: bool = True,
-                    fix_first: bool = False, param_shardings=None):
+                    fix_first: bool = False, param_shardings=None,
+                    remat_scan: Optional[bool] = None):
     """Returns jitted train_step(params, opt_state, batch, rng, lr, alpha).
 
     `param_shardings` (a pytree of NamedSharding matching params) pins the
@@ -143,7 +147,7 @@ def make_train_step(cfg: Spann3RConfig, prec: Precision, opt, remat: bool = True
     def loss_fn(params, batch, rng, alpha):
         frames = jnp.transpose(batch["img"], (1, 0, 2, 3, 4))  # (B,T,H,W,3)
         preds = sp.forward_train(params, frames, cfg, prec, rng=rng,
-                                 remat=remat)
+                                 remat=remat, remat_scan=remat_scan)
         gts = {"pts3d": batch["pts3d"],
                "valid_mask": batch["valid_mask"],
                "camera_pose": batch["camera_pose"]}
@@ -170,17 +174,19 @@ def make_train_step(cfg: Spann3RConfig, prec: Precision, opt, remat: bool = True
 
 def make_accum_train_step(cfg: Spann3RConfig, prec: Precision, opt,
                           accum_iter: int, remat: bool = True,
-                          fix_first: bool = False, param_shardings=None):
+                          fix_first: bool = False, param_shardings=None,
+                          remat_scan: Optional[bool] = None):
     """Gradient-accumulation variant (ref training.py:226-231 accum_iter):
     grad_step accumulates scaled grads; apply_step runs the optimizer."""
-    base = make_train_step(cfg, prec, opt, remat, fix_first, param_shardings)
+    base = make_train_step(cfg, prec, opt, remat, fix_first, param_shardings,
+                           remat_scan)
     if accum_iter <= 1:
         return base, None, None
 
     def loss_fn(params, batch, rng, alpha):
         frames = jnp.transpose(batch["img"], (1, 0, 2, 3, 4))
         preds = sp.forward_train(params, frames, cfg, prec, rng=rng,
-                                 remat=remat)
+                                 remat=remat, remat_scan=remat_scan)
         gts = {k: batch[k] for k in ("pts3d", "valid_mask", "camera_pose")}
         loss, details, factor_loss = losses.conf_loss_t(
             gts, preds, alpha=alpha, norm_mode=True, fix_first=fix_first)
@@ -363,7 +369,8 @@ def train(args) -> Dict[str, Any]:
 
     train_step, grad_step, apply_step = make_accum_train_step(
         cfg, prec, opt, args.accum_iter, remat=bool(args.remat),
-        param_shardings=param_shardings)
+        param_shardings=param_shardings,
+        remat_scan=bool(args.remat_scan) or None)
     eval_step = make_eval_step(cfg, prec)
     grad_acc = (jax.tree.map(jnp.zeros_like, params)
                 if args.accum_iter > 1 else None)

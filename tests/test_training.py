@@ -194,3 +194,23 @@ def test_train_step_t10(rng):
     preds = sp.forward_train(params, jnp.transpose(
         jnp.asarray(batch["img"]), (1, 0, 2, 3, 4)), cfg, FP32, remat=False)
     assert preds["pts3d_1"].shape[0] == t10 - 1
+
+
+def test_remat_scan_matches_default(rng):
+    """SPANN3R_REMAT_SCAN (checkpoint the whole pair-step scan body) must be
+    numerics-neutral: same loss and same gradients as the default."""
+    cfg = tiny_cfg()
+    params = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
+    frames = jnp.asarray(rng.standard_normal((2, 3, *HW, 3)), jnp.float32) * .3
+
+    def loss(p, remat_scan):
+        out = sp.forward_train(p, frames, cfg, FP32, rng=None, remat=True,
+                               remat_scan=remat_scan)
+        return jnp.mean(jnp.square(out["pts3d_1"])) + jnp.mean(out["conf_2"])
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

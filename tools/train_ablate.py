@@ -43,7 +43,7 @@ def main():
     ap.add_argument("--frames", type=int, default=5)
     ap.add_argument("--resolution", type=int, default=224)
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--variants", type=str, default="default,dots,none")
+    ap.add_argument("--variants", type=str, default="default,dots,none")  # also: pairremat
     ap.add_argument("--head_type", type=str, default="dpt")
     ap.add_argument("--profile", type=str, default=None,
                     help="profile the 'default' variant's steps to this dir")
@@ -83,9 +83,15 @@ def main():
 
     for variant in args.variants.split(","):
         os.environ.pop("SPANN3R_REMAT_POLICY", None)
+        os.environ.pop("SPANN3R_REMAT_SCAN", None)
         remat = True
         recompute_factor = 1.0
-        if variant == "dots":
+        if variant == "pairremat":
+            # checkpoint the whole pair-step scan body on top of per-block
+            # remat: backward recomputes the step once more -> ~2x fwd extra
+            os.environ["SPANN3R_REMAT_SCAN"] = "1"
+            recompute_factor = 2.0
+        elif variant == "dots":
             os.environ["SPANN3R_REMAT_POLICY"] = "dots"
             recompute_factor = 0.35   # elementwise-only recompute (approx)
         elif variant == "none":
