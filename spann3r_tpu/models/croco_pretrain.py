@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 from ..config import BF16, DUSt3RConfig, Precision
 from ..ops.layers import init_layer_norm, init_linear, layer_norm, linear
-from .vit import (decoder_block_apply, encoder_apply, init_block_stack,
+from .vit import (decoder_block_apply, encoder_apply,
+                  get_2d_sincos_pos_embed, init_block_stack,
                   init_decoder_block_stack, init_patch_embed,
                   patch_embed_apply)
 
@@ -94,9 +95,24 @@ def croco_forward(params, img1: jax.Array, img2: jax.Array, mask: jax.Array,
                 f"{n_patches - n_vis}; build the mask with random_mask(..., "
                 f"mask_ratio) matching this argument")
 
+    # 'cosine' positional mode (the CroCoNet default, ref croco.py:48-59):
+    # absolute sincos embeds added at the encoder and decoder inputs; with
+    # RoPE (rope_base > 0) nothing is added, matching ref croco.py:57-59.
+    use_cosine = cfg.enc.rope_base <= 0
+    if use_cosine:
+        gh, gw = h // cfg.patch_size, w // cfg.patch_size
+        if gh != gw:
+            raise ValueError("cosine pos_embed assumes a square patch grid "
+                             f"(ref croco.py:50 uses sqrt(num_patches)); got "
+                             f"{gh}x{gw} — use pos_embed='RoPE100' instead")
+        enc_pe = get_2d_sincos_pos_embed(cfg.enc.dim, gh)[None]
+        dec_pe = get_2d_sincos_pos_embed(cfg.dec.dim, gh)[None]
+
     # encode visible patches of img1 (gathered to a fixed width)
     x1, pos = patch_embed_apply(params["patch_embed"],
                                 img1.astype(prec.compute_dtype), cfg.patch_size)
+    if use_cosine:  # ref croco.py:140-141
+        x1 = x1 + enc_pe.astype(x1.dtype)
     order = jnp.argsort(mask, axis=1)          # False (visible) first, stable
     vis_idx = order[:, :n_vis]                  # (B, N_vis)
     x1_vis = jnp.take_along_axis(x1, vis_idx[..., None], axis=1)
@@ -107,6 +123,8 @@ def croco_forward(params, img1: jax.Array, img2: jax.Array, mask: jax.Array,
     # encode img2 fully
     x2, pos2 = patch_embed_apply(params["patch_embed"],
                                  img2.astype(prec.compute_dtype), cfg.patch_size)
+    if use_cosine:
+        x2 = x2 + enc_pe.astype(x2.dtype)
     f2 = encoder_apply(params["enc_blocks"], x2, pos2, cfg.enc)
     f2 = layer_norm(params["enc_norm"], f2, cfg.enc.ln_eps)
 
@@ -116,6 +134,9 @@ def croco_forward(params, img1: jax.Array, img2: jax.Array, mask: jax.Array,
     full = jnp.broadcast_to(params["mask_token"].astype(d1_vis.dtype),
                             (b, mask.shape[1], d1_vis.shape[-1]))
     d1 = full.at[jnp.arange(b)[:, None], vis_idx].set(d1_vis)
+    if use_cosine:  # ref croco.py:185-187: added AFTER the scatter
+        d1 = d1 + dec_pe.astype(d1.dtype)
+        d2 = d2 + dec_pe.astype(d2.dtype)
 
     def body(carry, p):
         c1, c2 = carry

@@ -14,10 +14,12 @@ HW = (32, 32)  # reference patchify asserts square inputs
 MASK_RATIO = 0.75
 
 
-def cfg():
+def cfg(rope: float = 100.0):
     return DUSt3RConfig(img_size=HW, patch_size=16,
-                        enc=ViTConfig(dim=64, depth=2, num_heads=4),
-                        dec=ViTConfig(dim=48, depth=2, num_heads=4))
+                        enc=ViTConfig(dim=64, depth=2, num_heads=4,
+                                      rope_base=rope),
+                        dec=ViTConfig(dim=48, depth=2, num_heads=4,
+                                      rope_base=rope))
 
 
 def _convert_croco(sd):
@@ -34,7 +36,8 @@ def _convert_croco(sd):
 
 
 @requires_reference
-def test_croco_pretrain_parity(rng):
+@pytest.mark.parametrize("pos_embed", ["RoPE100", "cosine"])
+def test_croco_pretrain_parity(rng, pos_embed):
     import torch
     from models.croco import CroCoNet
 
@@ -42,7 +45,7 @@ def test_croco_pretrain_parity(rng):
     net = CroCoNet(img_size=HW[1], patch_size=16, mask_ratio=MASK_RATIO,
                    enc_embed_dim=64, enc_depth=2, enc_num_heads=4,
                    dec_embed_dim=48, dec_depth=2, dec_num_heads=4,
-                   pos_embed="RoPE100").eval()
+                   pos_embed=pos_embed).eval()
     # PatchEmbed asserts square img_size; swap in the flexible variant
     from dust3r.patch_embed import PatchEmbedDust3R
     pe = PatchEmbedDust3R(HW, 16, 3, 64)
@@ -66,10 +69,11 @@ def test_croco_pretrain_parity(rng):
 
     sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
     params = _convert_croco(sd)
+    c = cfg(rope=100.0 if pos_embed.startswith("RoPE") else 0.0)
     pred, mask, target = cp.croco_forward(
         params, jnp.asarray(np.transpose(img1, (0, 2, 3, 1))),
         jnp.asarray(np.transpose(img2, (0, 2, 3, 1))),
-        jnp.asarray(mask_np), cfg(), mask_ratio=MASK_RATIO, prec=FP32)
+        jnp.asarray(mask_np), c, mask_ratio=MASK_RATIO, prec=FP32)
 
     np.testing.assert_array_equal(np.asarray(mask), ref_mask.numpy())
     np.testing.assert_allclose(np.asarray(target), ref_target.numpy(),
