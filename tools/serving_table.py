@@ -35,7 +35,7 @@ def run_config(label: str, args: list) -> dict:
     cmd = [sys.executable, osp.join(ROOT, "bench.py")] + args
     print(f"[serving_table] {label}: {' '.join(cmd)}", flush=True)
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=ROOT,
-                         timeout=900)
+                         timeout=2400)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not line:
         raise RuntimeError(f"no JSON from bench for {label}:\n{out.stderr[-2000:]}")

@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--variants", type=str, default="default,dots,none")  # also: pairremat
     ap.add_argument("--head_type", type=str, default="dpt")
+    ap.add_argument("--bf16_heads", action="store_true",
+                    help="BF16_FAST precision (bf16 DPT heads): opt-in "
+                         "deviation from the reference fp32-heads policy")
     ap.add_argument("--profile", type=str, default=None,
                     help="profile the 'default' variant's steps to this dir")
     args = ap.parse_args()
@@ -53,7 +56,8 @@ def main():
     import jax.numpy as jnp
 
     from spann3r_tpu import losses, training as tr
-    from spann3r_tpu.config import BF16, DUSt3RConfig, Spann3RConfig
+    from spann3r_tpu.config import (BF16, BF16_FAST, DUSt3RConfig,
+                                    Spann3RConfig)
     from spann3r_tpu.models import spann3r as sp
 
     hw = (args.resolution, args.resolution)
@@ -75,7 +79,8 @@ def main():
 
     # fwd matmul flops: (t-1) pair steps, each = one frame's streaming step
     # minus the memory-read term (training bank is tiny vs serving)
-    fwd = model_flops_per_frame(cfg, hw, b, BF16) * (t - 1)
+    prec = BF16_FAST if args.bf16_heads else BF16
+    fwd = model_flops_per_frame(cfg, hw, b, prec) * (t - 1)
 
     params0 = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
     opt = tr.make_optimizer(0.05)
@@ -100,7 +105,7 @@ def main():
         total_flops = fwd * (3.0 + recompute_factor)
 
         try:
-            step = tr.make_train_step(cfg, BF16, opt, remat=remat)
+            step = tr.make_train_step(cfg, prec, opt, remat=remat)
             params = jax.tree.map(lambda x: x, params0)
             opt_state = opt.init(params)
             key = jax.random.PRNGKey(1)
