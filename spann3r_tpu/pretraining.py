@@ -49,6 +49,9 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="stop training at this epoch")
     p.add_argument("--accum_iter", default=1, type=int)
     p.add_argument("--weight_decay", default=0.05, type=float)
+    p.add_argument("--layer_decay", default=1.0, type=float,
+                   help="per-layer LR decay (croco/utils/misc.py:404-460; "
+                        "1.0 = off, the reference pretrain default)")
     p.add_argument("--lr", default=None, type=float)
     p.add_argument("--blr", default=1.5e-4, type=float)
     p.add_argument("--min_lr", default=0.0, type=float)
@@ -106,8 +109,17 @@ def make_pretrain_optimizer(weight_decay: float) -> optax.GradientTransformation
 
 
 def make_pretrain_step(cfg: DUSt3RConfig, mask_ratio: float, prec: Precision,
-                       opt, norm_pix_loss: bool = True):
-    """Jitted step(params, opt_state, img1, img2, rng, lr) -> (..., loss)."""
+                       opt, norm_pix_loss: bool = True, lr_scales=None):
+    """Jitted step(params, opt_state, img1, img2, rng, lr) -> (..., loss).
+
+    `lr_scales` (optional pytree matching params) applies the reference's
+    layer-decay per-group lr scaling (croco/utils/misc.py:404-460) as one
+    elementwise multiply — see training.layer_lr_scales."""
+
+    def scaled(updates, lr):
+        if lr_scales is None:
+            return jax.tree.map(lambda u: -lr * u, updates)
+        return jax.tree.map(lambda u, s: -lr * s * u, updates, lr_scales)
 
     def loss_fn(params, img1, img2, rng):
         b = img1.shape[0]
@@ -122,7 +134,7 @@ def make_pretrain_step(cfg: DUSt3RConfig, mask_ratio: float, prec: Precision,
     def step(params, opt_state, img1, img2, rng, lr):
         loss, grads = jax.value_and_grad(loss_fn)(params, img1, img2, rng)
         updates, opt_state = opt.update(grads, opt_state, params)
-        updates = jax.tree.map(lambda u: -lr * u, updates)
+        updates = scaled(updates, lr)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
@@ -136,7 +148,7 @@ def make_pretrain_step(cfg: DUSt3RConfig, mask_ratio: float, prec: Precision,
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def apply_step(params, opt_state, grad_acc, lr):
         updates, opt_state = opt.update(grad_acc, opt_state, params)
-        updates = jax.tree.map(lambda u: -lr * u, updates)
+        updates = scaled(updates, lr)
         params = optax.apply_updates(params, updates)
         return params, opt_state, jax.tree.map(jnp.zeros_like, grad_acc)
 
@@ -199,8 +211,14 @@ def main(args) -> Dict[str, float]:
                             replicated)
     opt = make_pretrain_optimizer(args.weight_decay)
     opt_state = opt.init(params)
+    lr_scales = None
+    if getattr(args, "layer_decay", 1.0) < 1.0:
+        from .training import layer_lr_scales
+        lr_scales = layer_lr_scales(params, cfg.enc.depth, cfg.dec.depth,
+                                    args.layer_decay)
     step, grad_step, apply_step = make_pretrain_step(
-        cfg, mask_ratio, prec, opt, norm_pix_loss=bool(args.norm_pix_loss))
+        cfg, mask_ratio, prec, opt, norm_pix_loss=bool(args.norm_pix_loss),
+        lr_scales=lr_scales)
     grad_acc = (jax.tree.map(jnp.zeros_like, params)
                 if args.accum_iter > 1 else None)
 

@@ -124,6 +124,61 @@ def decay_mask(params):
     return jax.tree.map(lambda x: x.ndim > 1, params)
 
 
+def layer_lr_scales(params, enc_depth: int, dec_depth: int,
+                    layer_decay: float):
+    """Pytree of per-leaf LR multipliers implementing the reference's
+    layer-decay param groups (croco/utils/misc.py:385-460).
+
+    The reference buckets named parameters into per-layer optimizer groups
+    with lr_scale = layer_decay ** (num_layers + 1 - layer_id), where
+    layer_id is 0 for patch/pos embeds and tokens, i+1 for encoder block i,
+    enc_depth for decoder_embed/enc_norm, enc_depth+i+1 for decoder block i,
+    enc_depth+dec_depth for dec_norm and num_layers+1 for heads
+    (misc.py:385-402).  Our block stacks are scan-stacked on axis 0, so the
+    per-layer scales become a (depth, 1, ..., 1) multiplier column per leaf
+    — one elementwise multiply instead of N param groups.  Multiply into
+    the (already lr-scaled) updates: u *= scale.
+    """
+    assert layer_decay == 1.0 or 0.0 < layer_decay < 1.0
+    num_layers = enc_depth + dec_depth
+
+    def scale(layer_id: int) -> float:
+        return layer_decay ** (num_layers + 1 - layer_id)
+
+    def const(sub, layer_id: int):
+        return jax.tree.map(lambda x: jnp.full((), scale(layer_id),
+                                               jnp.float32), sub)
+
+    def stacked(sub, depth: int, first_id: int):
+        col = jnp.asarray([scale(first_id + i) for i in range(depth)],
+                          jnp.float32)
+
+        def per_leaf(x):
+            assert x.shape[0] == depth, (x.shape, depth)
+            return col.reshape((depth,) + (1,) * (x.ndim - 1))
+
+        return jax.tree.map(per_leaf, sub)
+
+    out = {}
+    for key, sub in params.items():
+        if key in ("patch_embed", "pos_embed", "cls_token", "mask_token",
+                   "global_tokens"):
+            out[key] = const(sub, 0)
+        elif key == "enc_blocks":
+            out[key] = stacked(sub, enc_depth, 1)
+        elif key in ("decoder_embed", "enc_norm"):
+            out[key] = const(sub, enc_depth)
+        elif key == "dec_blocks":
+            out[key] = stacked(sub, dec_depth, enc_depth + 1)
+        elif key == "dec_norm":
+            out[key] = const(sub, num_layers)
+        elif key == "prediction_head" or key.startswith("head"):
+            out[key] = const(sub, num_layers + 1)
+        else:  # the reference raises too (misc.py:402)
+            raise NotImplementedError(f"layer-decay id for {key!r}")
+    return out
+
+
 def make_optimizer(weight_decay: float) -> optax.GradientTransformation:
     """AdamW(0.9, 0.95) + global-norm clip 1.0; LR injected per step."""
     return optax.chain(
