@@ -156,12 +156,14 @@ def main():
     if args.offline:
         # offline mode has quadratic pairwise stages; the reference times it
         # on ~20-frame clips (demo.py --kf_every on short videos)
-        from spann3r_tpu.models.offline import offline_reconstruction
+        from spann3r_tpu.models.offline import offline_reconstruction_fused
         n_off = min(args.frames, 20)
         fl = (frames[:n_off, 0].astype(np.float32) / 255.0) * 2.0 - 1.0
-        offline_reconstruction(params, fl, cfg, hw, prec=prec)  # warmup/jit
+        # warmup/jit (greedy NBV loop + pairwise confs each run as ONE program)
+        offline_reconstruction_fused(params, fl, cfg, hw, prec=prec)
         t0 = time.perf_counter()
-        preds, _, _ = offline_reconstruction(params, fl, cfg, hw, prec=prec)
+        preds, _, _ = offline_reconstruction_fused(params, fl, cfg, hw,
+                                                   prec=prec)
         np.asarray(preds[-1]["pts3d_in_other_view"]).ravel()[0]
         elapsed = time.perf_counter() - t0
         fps = n_off / elapsed

@@ -32,8 +32,8 @@ def reconstruct_video(params, cfg: Spann3RConfig, frames: np.ndarray,
         if frames.shape[1] != 1:
             raise ValueError("offline reconstruction is single-stream; got "
                              f"B={frames.shape[1]}")
-        from .models.offline import offline_reconstruction
-        preds, _, idx_used = offline_reconstruction(
+        from .models.offline import offline_reconstruction_fused
+        preds, _, idx_used = offline_reconstruction_fused(
             params, frames[:, 0], cfg, hw, scene_graph=scene_graph, prec=prec)
         order = idx_used
     else:

@@ -51,6 +51,41 @@ def test_offline_reconstruction_tiny(rng):
     assert len(preds_all) == 4
 
 
+def test_offline_fused_matches_loop(rng):
+    """The single-program greedy scan must reproduce the loop path: same
+    frame order and same predictions (only XLA fusion boundaries differ)."""
+    from spann3r_tpu.models.offline import offline_reconstruction_fused
+    cfg = tiny_cfg()
+    params = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
+    frames = rng.standard_normal((5, *HW, 3)).astype(np.float32) * 0.3
+    p_loop, pall_loop, idx_loop = offline_reconstruction(
+        params, frames, cfg, HW, scene_graph="complete", prec=FP32)
+    p_fused, pall_fused, idx_fused = offline_reconstruction_fused(
+        params, frames, cfg, HW, scene_graph="complete", prec=FP32)
+    assert idx_fused == idx_loop
+    assert len(p_fused) == len(p_loop)
+    for a, b in zip(p_fused, p_loop):
+        assert a.keys() == b.keys()
+        for k in a:
+            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                       rtol=2e-4, atol=2e-4)
+    for (a1, a2), (b1, b2) in zip(pall_fused, pall_loop):
+        np.testing.assert_allclose(np.asarray(a2["pts3d_in_other_view"]),
+                                   np.asarray(b2["pts3d_in_other_view"]),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_offline_fused_two_frames(rng):
+    from spann3r_tpu.models.offline import offline_reconstruction_fused
+    cfg = tiny_cfg()
+    params = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
+    frames = rng.standard_normal((2, *HW, 3)).astype(np.float32) * 0.3
+    preds, preds_all, idx_used = offline_reconstruction_fused(
+        params, frames, cfg, HW, prec=FP32)
+    assert len(preds) == 2 and len(preds_all) == 1
+    assert sorted(idx_used) == [0, 1]
+
+
 @pytest.fixture(scope="module")
 def image_folder(tmp_path_factory):
     import cv2
