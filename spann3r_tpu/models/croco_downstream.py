@@ -14,8 +14,8 @@ pure functions over the croco_pretrain parameter pytree:
   - downstream_monocular / downstream_binocular: forward passes that hand a
     head_fn the collected states + image size
 
-The stereoflow task heads themselves are out of scope (see PARITY.md
-non-goals); any head_fn with the (states, img_hw) signature plugs in.
+Any head_fn with the (states, img_hw) signature plugs in; the stereoflow
+task family's PixelwiseTaskWithDPT lives in spann3r_tpu/stereoflow/head.py.
 """
 from __future__ import annotations
 
@@ -57,7 +57,9 @@ def dpt_hook_indices(enc_depth: int, dec_depth: int = None) -> List[int]:
     if dec_depth is None:
         step = enc_depth // 4
         return [enc_depth - 1 - i * step for i in range(3, -1, -1)]
-    step = {8: 3, 12: 4, 24: 8}[dec_depth]
+    # the reference's table covers its released depths; ceil(d/3)
+    # reproduces every entry and extends to other depths (tiny test models)
+    step = {8: 3, 12: 4, 24: 8}.get(dec_depth, max(1, -(-dec_depth // 3)))
     return [dec_depth + enc_depth - 1 - i * step for i in range(3, -1, -1)]
 
 
@@ -69,8 +71,10 @@ def _encode_all(params, img: jax.Array, cfg: DUSt3RConfig,
     x, pos = patch_embed_apply(params["patch_embed"],
                                img.astype(prec.compute_dtype), cfg.patch_size)
     if cfg.enc.rope_base <= 0:
-        gh = img.shape[1] // cfg.patch_size
-        x = x + get_2d_sincos_pos_embed(cfg.enc.dim, gh)[None].astype(x.dtype)
+        grid = (img.shape[1] // cfg.patch_size,
+                img.shape[2] // cfg.patch_size)
+        x = x + get_2d_sincos_pos_embed(cfg.enc.dim,
+                                        grid)[None].astype(x.dtype)
 
     def body(carry, p):
         out = block_apply(p, carry, pos, cfg.enc)
@@ -111,8 +115,8 @@ def downstream_binocular(params, img1: jax.Array, img2: jax.Array,
     d1 = linear(params["decoder_embed"], f1)
     d2 = linear(params["decoder_embed"], f2)
     if cfg.dec.rope_base <= 0:
-        gh = h // cfg.patch_size
-        pe = get_2d_sincos_pos_embed(cfg.dec.dim, gh)[None]
+        pe = get_2d_sincos_pos_embed(
+            cfg.dec.dim, (h // cfg.patch_size, w // cfg.patch_size))[None]
         d1 = d1 + pe.astype(d1.dtype)
         d2 = d2 + pe.astype(d2.dtype)
 

@@ -173,12 +173,18 @@ def get_1d_sincos_pos_embed(embed_dim: int, pos) -> jnp.ndarray:
     return np.concatenate([np.sin(out), np.cos(out)], axis=1)
 
 
-def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int,
+def get_2d_sincos_pos_embed(embed_dim: int, grid_size,
                             n_cls_token: int = 0) -> jnp.ndarray:
-    """(grid²[+cls], D) cosine table for non-RoPE CroCo variants."""
+    """(gh*gw[+cls], D) cosine table for non-RoPE CroCo variants.
+    grid_size: int (square) or (gh, gw).  The reference only builds square
+    grids and bicubic-interpolates the stored buffer to other sizes
+    (croco/models/pos_embed.py interpolate_pos_embed); computing the exact
+    rectangular table on the fly subsumes both steps."""
     import numpy as np
-    grid_h = np.arange(grid_size, dtype=np.float32)
-    grid_w = np.arange(grid_size, dtype=np.float32)
+    gh, gw = ((grid_size, grid_size) if isinstance(grid_size, int)
+              else grid_size)
+    grid_h = np.arange(gh, dtype=np.float32)
+    grid_w = np.arange(gw, dtype=np.float32)
     grid = np.stack(np.meshgrid(grid_w, grid_h), axis=0)  # w first (ref)
     emb_h = get_1d_sincos_pos_embed(embed_dim // 2, grid[0])
     emb_w = get_1d_sincos_pos_embed(embed_dim // 2, grid[1])

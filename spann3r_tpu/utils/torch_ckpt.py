@@ -191,6 +191,30 @@ def convert_dust3r(sd: Mapping[str, np.ndarray], cfg: DUSt3RConfig) -> Dict[str,
     }
 
 
+def convert_croco(sd: Mapping[str, np.ndarray],
+                  with_pretrain_head: bool = False) -> Dict[str, Any]:
+    """state_dict of CroCoNet (or a CroCoDownstream* minus its task head)
+    -> croco_pretrain param pytree (ref croco/models/croco.py module names).
+
+    Pretrain-only leaves (mask_token, prediction_head) are included only
+    when with_pretrain_head and present — downstream models register
+    neither (ref croco_downstream.py:40-55)."""
+    p = {
+        "patch_embed": {"proj": _conv(sd, "patch_embed.proj")},
+        "enc_blocks": _block_stack(sd, "enc_blocks"),
+        "enc_norm": _ln(sd, "enc_norm"),
+        "decoder_embed": _lin(sd, "decoder_embed"),
+        "dec_blocks": _block_stack(sd, "dec_blocks", decoder=True),
+        "dec_norm": _ln(sd, "dec_norm"),
+    }
+    if with_pretrain_head:
+        if "mask_token" in sd:
+            p["mask_token"] = np.asarray(sd["mask_token"])
+        if "prediction_head.weight" in sd:
+            p["prediction_head"] = _lin(sd, "prediction_head")
+    return p
+
+
 def convert_spann3r(sd: Mapping[str, np.ndarray], cfg: Spann3RConfig) -> Dict[str, Any]:
     """state_dict of the full Spann3R nn.Module -> spann3r param pytree."""
     dust3r_sd = {k[len("dust3r."):]: v for k, v in sd.items()

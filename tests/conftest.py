@@ -64,3 +64,29 @@ def has_reference():
 
 requires_reference = pytest.mark.skipif(
     not has_reference(), reason="reference repo not mounted")
+
+
+def stub_optional_ref_deps():
+    """Insert inert torchvision/h5py modules so reference modules that
+    import them at top level (croco/stereoflow/*) can load; the parity
+    tests only touch code paths that never call into these."""
+    import types
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tr = types.ModuleType("torchvision.transforms")
+        fn = types.ModuleType("torchvision.transforms.functional")
+        tr.ColorJitter = object
+        tr.functional = fn
+        tv.transforms = tr
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tr
+        sys.modules["torchvision.transforms.functional"] = fn
+    if "h5py" not in sys.modules:
+        h5 = types.ModuleType("h5py")
+
+        def _no_h5py(*a, **k):
+            raise ImportError("h5py stub (not installed in this image)")
+
+        h5.File = _no_h5py
+        sys.modules["h5py"] = h5
