@@ -44,7 +44,11 @@ class habitat(BaseManyViewDataset):  # noqa: N801 — name kept for config parit
             if not osp.exists(stem + ".jpeg"):
                 return None  # missing clip -> resample another item
             rgb = imread_cv2(stem + ".jpeg")
-            depth = imread_cv2(stem + "_depth.exr", cv2.IMREAD_UNCHANGED)
+            if osp.exists(stem + "_depth.exr"):
+                depth = imread_cv2(stem + "_depth.exr", cv2.IMREAD_UNCHANGED)
+            else:
+                # habitat_gen fallback when cv2 lacks an EXR codec
+                depth = np.load(stem + "_depth.npy").astype(np.float32)
             cam = json.load(open(stem + "_camera_params.json"))
             pose = np.eye(4, dtype=np.float32)
             pose[:3, :3] = np.array(cam["R_cam2world"], dtype=np.float32)
