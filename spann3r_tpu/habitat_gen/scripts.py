@@ -243,6 +243,24 @@ def generate_multiview_images_from_metadata(
     generator.close()
 
 
+def commandlines_from_metadata_files(input_dir, output_dir, prefix=""):
+    """Emit one regeneration commandline per packed metadata file found
+    under input_dir, skipping scenes whose output metadata already exists
+    (ref generate_from_metadata_files.py:12-28).  Returns the list so
+    batch schedulers (or tests) can consume it without capturing stdout."""
+    lines = []
+    for metadata_filename in sorted(
+            glob.iglob(f"{input_dir}/**/metadata.json", recursive=True)):
+        out = os.path.join(output_dir, os.path.relpath(
+            os.path.dirname(metadata_filename), input_dir))
+        if os.path.exists(os.path.join(out, "metadata.json")):
+            continue
+        lines.append(
+            f"{prefix}python -m spann3r_tpu.habitat_gen.scripts "
+            f"--from_metadata {metadata_filename} --output_dir {out}")
+    return lines
+
+
 def pack_metadata_files(input_dirname, output_dirname,
                         scenes_dataset_paths=SCENES_DATASET):
     """Strip deployment-specific path prefixes from metadata files so the
@@ -295,6 +313,15 @@ def main():
                     "(--scene __boxroom__ for the synthetic renderer)")
     parser.add_argument("--output_dir", type=str, required=True)
     parser.add_argument("--list_commands", action="store_true")
+    parser.add_argument("--from_metadata", type=str, default="",
+                        help="regenerate from one packed metadata.json "
+                             "(ref generate_from_metadata.py)")
+    parser.add_argument("--from_metadata_dir", type=str, default="",
+                        help="print regeneration commandlines for every "
+                             "metadata.json under this dir "
+                             "(ref generate_from_metadata_files.py)")
+    parser.add_argument("--prefix", type=str, default="",
+                        help="commandline prefix for --from_metadata_dir")
     parser.add_argument("--scene", type=str, default="")
     parser.add_argument("--scene_dataset_config_file", type=str, default="")
     parser.add_argument("--navmesh", type=str, default="")
@@ -308,6 +335,16 @@ def main():
     parser.add_argument("--minimum_covisibility", type=float, default=0.1)
     args = parser.parse_args()
 
+    if args.from_metadata_dir:
+        for line in commandlines_from_metadata_files(
+                args.from_metadata_dir, args.output_dir, args.prefix):
+            print(line)
+        return
+    if args.from_metadata:
+        generate_multiview_images_from_metadata(
+            args.from_metadata, args.output_dir,
+            exist_ok=bool(args.exist_ok))
+        return
     if args.list_commands:
         for sd in list_scenes_available(base_output_dir=args.output_dir):
             print(f"python -m spann3r_tpu.habitat_gen.scripts "

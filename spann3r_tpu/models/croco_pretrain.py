@@ -60,6 +60,18 @@ def patchify(imgs: jax.Array, patch_size: int) -> jax.Array:
     return x.reshape(b, (h // p) * (w // p), p * p * c)
 
 
+def unpatchify(x: jax.Array, patch_size: int, h: int, w: int) -> jax.Array:
+    """(B, N, ps*ps*C) -> (B, h, w, C); inverse of patchify
+    (ref croco.py:218-229, which assumes a square grid — we take h, w)."""
+    b, n, d = x.shape
+    p = patch_size
+    gh, gw = h // p, w // p
+    assert n == gh * gw, (n, gh, gw)
+    c = d // (p * p)
+    x = x.reshape(b, gh, gw, p, p, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
 def croco_forward(params, img1: jax.Array, img2: jax.Array, mask: jax.Array,
                   cfg: DUSt3RConfig, mask_ratio: float = 0.9,
                   prec: Precision = BF16

@@ -203,6 +203,25 @@ def test_pack_and_regenerate(generated_scene, tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_commandlines_from_metadata_files(generated_scene, tmp_path):
+    """Batch-regeneration driver (ref generate_from_metadata_files.py):
+    one commandline per metadata.json, skipping already-done outputs."""
+    tree = str(tmp_path / "tree")
+    os.makedirs(osp.join(tree, "sceneA"))
+    os.symlink(osp.join(generated_scene, "metadata.json"),
+               osp.join(tree, "sceneA", "metadata.json"))
+    out = str(tmp_path / "regen_all")
+    lines = S.commandlines_from_metadata_files(tree, out, prefix="env X=1 ")
+    assert len(lines) == 1
+    assert lines[0].startswith("env X=1 python -m "
+                               "spann3r_tpu.habitat_gen.scripts")
+    assert "--from_metadata" in lines[0] and osp.join(out, "sceneA") in lines[0]
+    # done outputs are skipped
+    os.makedirs(osp.join(out, "sceneA"))
+    open(osp.join(out, "sceneA", "metadata.json"), "w").write("{}")
+    assert S.commandlines_from_metadata_files(tree, out) == []
+
+
 def test_generated_output_feeds_habitat_consumer(generated_scene, tmp_path):
     """The generator's output directory is a valid scene for the training
     consumer datasets/habitat.py (5-frame layout -> use 3 here)."""
