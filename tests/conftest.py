@@ -68,20 +68,34 @@ requires_reference = pytest.mark.skipif(
 
 def stub_optional_ref_deps():
     """Insert inert torchvision/h5py modules so reference modules that
-    import them at top level (croco/stereoflow/*) can load; the parity
-    tests only touch code paths that never call into these."""
+    import them at top level (croco/stereoflow/*, dust3r/viz.py) can load;
+    the parity tests only touch code paths that never call into these.
+
+    Self-healing: if a partial torchvision stub is already in sys.modules
+    (an earlier test in the same process installed one), the missing
+    submodules/attributes are filled in rather than skipped — otherwise
+    `import torchvision.transforms.functional` fails for every later test
+    (this ordering flake bit the full-suite run once)."""
     import types
 
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tr = types.ModuleType("torchvision.transforms")
-        fn = types.ModuleType("torchvision.transforms.functional")
-        tr.ColorJitter = object
-        tr.functional = fn
-        tv.transforms = tr
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.transforms"] = tr
-        sys.modules["torchvision.transforms.functional"] = fn
+    tv = sys.modules.get("torchvision") or types.ModuleType("torchvision")
+    tr = (sys.modules.get("torchvision.transforms")
+          or getattr(tv, "transforms", None)
+          or types.ModuleType("torchvision.transforms"))
+    fn = (sys.modules.get("torchvision.transforms.functional")
+          or getattr(tr, "functional", None)
+          or types.ModuleType("torchvision.transforms.functional"))
+    for name, val in (("ColorJitter", lambda *a, **k: None),
+                      ("Compose", lambda fns: fns),
+                      ("ToTensor", lambda *a, **k: None),
+                      ("Normalize", lambda *a, **k: None)):
+        if not hasattr(tr, name):
+            setattr(tr, name, val)
+    tr.functional = fn
+    tv.transforms = tr
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = tr
+    sys.modules["torchvision.transforms.functional"] = fn
     if "h5py" not in sys.modules:
         h5 = types.ModuleType("h5py")
 

@@ -11,20 +11,11 @@ from .conftest import requires_reference
 
 def _import_ref_viz():
     """dust3r.viz transitively imports torchvision (absent here) only for
-    ImgNorm, which these tests never touch — stub just enough to import."""
-    import sys
-    import types
-
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tvt = types.ModuleType("torchvision.transforms")
-        tvt.Compose = lambda fns: fns
-        tvt.ToTensor = lambda *a, **k: None
-        tvt.Normalize = lambda *a, **k: None
-        tvt.ColorJitter = lambda *a, **k: None
-        tv.transforms = tvt
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.transforms"] = tvt
+    ImgNorm, which these tests never touch — use the shared conftest stub
+    (it is self-healing, so later reference imports in the same process
+    still see a complete torchvision surface)."""
+    from .conftest import stub_optional_ref_deps
+    stub_optional_ref_deps()
     import dust3r.viz as ref_viz
     return ref_viz
 

@@ -138,13 +138,13 @@ def test_tile_slices_match_reference_formula():
 def test_tiled_pred_parity(with_conf):
     """Chunk-batched tiling must equal the reference's per-tile loop.
     Model: a deterministic function of the two crops."""
-    import sys
-    import types
-
     import torch
     # the reference engine imports torchvision at module level but never
-    # touches it inside tiled_pred; torchvision is not in this image
-    sys.modules.setdefault("torchvision", types.ModuleType("torchvision"))
+    # touches it inside tiled_pred; torchvision is not in this image —
+    # use the shared self-healing stub so this test can't leave a partial
+    # module behind for later reference imports
+    from .conftest import stub_optional_ref_deps
+    stub_optional_ref_deps()
     from stereoflow.engine import tiled_pred as ref_tiled
 
     Cc = 2
