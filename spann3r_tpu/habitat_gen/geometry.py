@@ -75,10 +75,8 @@ def compute_pointcloud_overlaps(pointcloud1, pointcloud2, distance_threshold,
     """Overlap counts under a distance threshold (ref :50-73,
     compute_pointcloud_overlaps_scikit)."""
     if adaptive_threshold:
-        d1 = _nn_distances(pointcloud1, pointcloud1)
-        d2 = _nn_distances(pointcloud2, pointcloud2)
         # self-queries return distance 0 to self; the reference takes the
-        # 2nd neighbour — approximate with scipy's k=2 here
+        # 2nd neighbour — scipy's k=2 gives exactly that
         from scipy.spatial import cKDTree
         d1 = cKDTree(pointcloud1).query(pointcloud1, k=2)[0][:, 1]
         d2 = cKDTree(pointcloud2).query(pointcloud2, k=2)[0][:, 1]

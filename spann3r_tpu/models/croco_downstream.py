@@ -49,6 +49,44 @@ def croco_args_from_ckpt(ckpt: Dict) -> Dict:
     return {}  # CroCo v1 released models: all defaults
 
 
+def cfg_from_croco_kwargs(kw: Dict, img_size) -> DUSt3RConfig:
+    """CroCoNet constructor kwargs -> DUSt3RConfig — the single home of
+    this mapping (pretraining model strings, downstream ckpt args and the
+    stereoflow drivers all route here; ref croco/models/croco.py:23-37
+    defaults).  Callers pop their own non-architecture keys (img_size,
+    mask_ratio) first; unknown leftovers raise so checkpoints built with
+    kwargs this port doesn't model can't be silently mis-assembled."""
+    kw = dict(kw)
+    pos = kw.pop("pos_embed", "cosine")
+    rope = 100.0 if str(pos).startswith("RoPE") else 0.0
+    from ..config import ViTConfig
+    cfg = DUSt3RConfig(
+        img_size=tuple(img_size),
+        patch_size=kw.pop("patch_size", 16),
+        enc=ViTConfig(dim=kw.pop("enc_embed_dim", 768),
+                      depth=kw.pop("enc_depth", 12),
+                      num_heads=kw.pop("enc_num_heads", 12),
+                      rope_base=rope),
+        dec=ViTConfig(dim=kw.pop("dec_embed_dim", 512),
+                      depth=kw.pop("dec_depth", 8),
+                      num_heads=kw.pop("dec_num_heads", 16),
+                      rope_base=rope),
+    )
+    if kw:
+        raise ValueError(f"unsupported CroCoNet kwargs: {sorted(kw)}")
+    return cfg
+
+
+def croco_kwargs_from_cfg(cfg: DUSt3RConfig) -> Dict:
+    """Inverse of cfg_from_croco_kwargs (architecture keys only)."""
+    return {"enc_embed_dim": cfg.enc.dim, "enc_depth": cfg.enc.depth,
+            "enc_num_heads": cfg.enc.num_heads,
+            "dec_embed_dim": cfg.dec.dim, "dec_depth": cfg.dec.depth,
+            "dec_num_heads": cfg.dec.num_heads,
+            "patch_size": cfg.patch_size,
+            "pos_embed": "RoPE100" if cfg.enc.rope_base > 0 else "cosine"}
+
+
 def dpt_hook_indices(enc_depth: int, dec_depth: int = None) -> List[int]:
     """Automatic DPT hook placement (ref head_downstream.py:40-47):
     encoder-only -> 4 equally spread encoder layers; encoder+decoder ->

@@ -26,9 +26,10 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from .config import BF16, DUSt3RConfig, Precision, ViTConfig
+from .config import BF16, DUSt3RConfig, Precision
 from .datasets.pairs import PairsDataset
 from .models import croco_pretrain as cp
+from .models.croco_downstream import cfg_from_croco_kwargs
 from .parallel import mesh as pmesh
 from .training import CheckpointManager, decay_mask, lr_at
 
@@ -79,22 +80,8 @@ def parse_croco_model(model_str: str) -> Tuple[DUSt3RConfig, float]:
     img_size = kw.pop("img_size", 224)
     if isinstance(img_size, int):
         img_size = (img_size, img_size)
-    pos = kw.pop("pos_embed", "cosine")
-    cfg = DUSt3RConfig(
-        img_size=tuple(img_size),
-        patch_size=kw.pop("patch_size", 16),
-        enc=ViTConfig(dim=kw.pop("enc_embed_dim", 768),
-                      depth=kw.pop("enc_depth", 12),
-                      num_heads=kw.pop("enc_num_heads", 12),
-                      rope_base=100.0 if str(pos).startswith("RoPE") else 0.0),
-        dec=ViTConfig(dim=kw.pop("dec_embed_dim", 512),
-                      depth=kw.pop("dec_depth", 8),
-                      num_heads=kw.pop("dec_num_heads", 16),
-                      rope_base=100.0 if str(pos).startswith("RoPE") else 0.0),
-    )
     mask_ratio = kw.pop("mask_ratio", 0.9)
-    if kw:
-        raise ValueError(f"unsupported CroCoNet kwargs: {sorted(kw)}")
+    cfg = cfg_from_croco_kwargs(kw, img_size)
     return cfg, float(mask_ratio)
 
 
@@ -178,7 +165,12 @@ class PairLoader:
     def __iter__(self):
         order = np.random.default_rng(self.seed + self.epoch).permutation(
             len(self.ds))
-        order = order[self.rank::self.world]
+        # Truncate every rank's strided shard to exactly len(self) batches:
+        # shard sizes differ by 1 when world doesn't divide len(ds), and a
+        # rank running one more collective step than its peers deadlocks the
+        # global-mesh train step (torch's DistributedSampler pads for the
+        # same reason; equal-count truncation keeps drop-last semantics).
+        order = order[self.rank::self.world][:len(self) * self.bs]
         for s in range(0, len(order) - self.bs + 1, self.bs):
             items = [self.ds[int(i)] for i in order[s:s + self.bs]]
             yield (np.stack([a for a, _ in items]),

@@ -62,8 +62,10 @@ def _dataset_root(name: str) -> str:
     return osp.join(DATA_ROOT, _SUBPATHS[name])
 
 
-IN1K_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-IN1K_STD = np.array([0.229, 0.224, 0.225], np.float32)
+# single source for the ImageNet stats shared with the pretraining inputs
+# (a drifted copy here would desynchronize finetuning from pretraining)
+from ..datasets.pairs import (IMAGENET_MEAN as IN1K_MEAN,  # noqa: E402
+                              IMAGENET_STD as IN1K_STD)
 
 
 def img_to_array(img: np.ndarray) -> np.ndarray:
@@ -1053,17 +1055,20 @@ _FLOW_REGISTRY = {
 }
 
 
-def _build_one(node: ast.expr, registry, extra_kwargs):
+def _build_one(node: ast.expr, registry, extra_kwargs, seed_state=None):
     """Evaluate `Name(kwargs)`, `int * expr`, `expr + expr` recursively —
     the algebra the reference reaches through eval()
-    (datasets_stereo.py:664-674)."""
+    (datasets_stereo.py:664-674).  seed_state ({'next': int} or None)
+    hands each constructed dataset a distinct augmentor seed so summed
+    mixtures don't share identical augmentation streams."""
     if isinstance(node, ast.BinOp) and isinstance(node.op, ast.Mult):
         left = ast.literal_eval(node.left)
         assert isinstance(left, int), "expected int * Dataset(...)"
-        return left * _build_one(node.right, registry, extra_kwargs)
+        return left * _build_one(node.right, registry, extra_kwargs,
+                                 seed_state)
     if isinstance(node, ast.BinOp) and isinstance(node.op, ast.Add):
-        return (_build_one(node.left, registry, extra_kwargs)
-                + _build_one(node.right, registry, extra_kwargs))
+        return (_build_one(node.left, registry, extra_kwargs, seed_state)
+                + _build_one(node.right, registry, extra_kwargs, seed_state))
     if isinstance(node, ast.Call) and isinstance(node.func, ast.Name):
         name = node.func.id
         if name.endswith("Dataset"):
@@ -1074,24 +1079,31 @@ def _build_one(node: ast.expr, registry, extra_kwargs):
         kwargs = {k.arg: ast.literal_eval(k.value) for k in node.keywords}
         args = [ast.literal_eval(a) for a in node.args]
         kwargs.update(extra_kwargs)
+        if seed_state is not None and seed_state.get("next") is not None:
+            kwargs["seed"] = seed_state["next"]
+            seed_state["next"] += 1
         return registry[name](*args, **kwargs)
     raise ValueError(f"cannot parse dataset expression: {ast.dump(node)}")
 
 
-def _get_train_dataset(dataset_str: str, registry, crop_size=None):
+def _get_train_dataset(dataset_str: str, registry, crop_size=None,
+                       seed=None):
     node = ast.parse(dataset_str.strip(), mode="eval").body
     return _build_one(node, registry,
-                      {"augmentor": True, "crop_size": crop_size})
+                      {"augmentor": True, "crop_size": crop_size},
+                      {"next": seed})
 
 
-def get_train_dataset_stereo(dataset_str: str, crop_size=None):
-    """ref datasets_stereo.py:664-670."""
-    return _get_train_dataset(dataset_str, _STEREO_REGISTRY, crop_size)
+def get_train_dataset_stereo(dataset_str: str, crop_size=None, seed=None):
+    """ref datasets_stereo.py:664-670.  `seed` makes augmentation
+    reproducible (the reference relies on train.py:94-97's global
+    np.random.seed; here the augmentor rng is explicit)."""
+    return _get_train_dataset(dataset_str, _STEREO_REGISTRY, crop_size, seed)
 
 
-def get_train_dataset_flow(dataset_str: str, crop_size=None):
-    """ref datasets_flow.py:620-626."""
-    return _get_train_dataset(dataset_str, _FLOW_REGISTRY, crop_size)
+def get_train_dataset_flow(dataset_str: str, crop_size=None, seed=None):
+    """ref datasets_flow.py:620-626.  See get_train_dataset_stereo re seed."""
+    return _get_train_dataset(dataset_str, _FLOW_REGISTRY, crop_size, seed)
 
 
 def _get_test_datasets(dataset_str: str, registry):

@@ -122,16 +122,11 @@ def main(args) -> Dict:
     if args.pretrained:
         pre_croco, croco_args = _load_pretrained_croco(args.pretrained)
     elif args.model:
+        from ..models.croco_downstream import croco_kwargs_from_cfg
         from ..pretraining import parse_croco_model
         _cfg, _ = parse_croco_model(args.model)
         pre_croco = None
-        croco_args = {
-            "enc_embed_dim": _cfg.enc.dim, "enc_depth": _cfg.enc.depth,
-            "enc_num_heads": _cfg.enc.num_heads,
-            "dec_embed_dim": _cfg.dec.dim, "dec_depth": _cfg.dec.depth,
-            "dec_num_heads": _cfg.dec.num_heads,
-            "patch_size": _cfg.patch_size,
-            "pos_embed": "RoPE100" if _cfg.enc.rope_base > 0 else "cosine"}
+        croco_args = croco_kwargs_from_cfg(_cfg)
     else:
         raise SystemExit("need --pretrained (or --model for random init)")
     cfg = cfg_from_croco_args(croco_args, tuple(args.crop))
@@ -194,7 +189,8 @@ def main(args) -> Dict:
     print("Building Train Data loader for dataset: ", args.dataset)
     build_train = (sfd.get_train_dataset_stereo if args.task == "stereo"
                    else sfd.get_train_dataset_flow)
-    train_dataset = build_train(args.dataset, crop_size=tuple(args.crop))
+    train_dataset = build_train(args.dataset, crop_size=tuple(args.crop),
+                                seed=args.seed + rank)
     print(repr(train_dataset))
 
     datasets_val = None

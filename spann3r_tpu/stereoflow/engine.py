@@ -17,8 +17,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..config import BF16, DUSt3RConfig, Precision, ViTConfig
-from ..models.croco_downstream import downstream_binocular
+from ..config import BF16, DUSt3RConfig, Precision
+from ..models.croco_downstream import (cfg_from_croco_kwargs,
+                                       downstream_binocular)
 from ..models.croco_pretrain import init_croco
 from ..training import decay_mask, lr_at
 from ..utils.metrics import MetricLogger, SmoothedValue
@@ -29,30 +30,17 @@ from .tiling import tiled_pred
 
 def cfg_from_croco_args(kw: Dict, crop_hw: Tuple[int, int]) -> DUSt3RConfig:
     """CroCoNet ckpt kwargs -> DUSt3RConfig with img_size forced to the
-    training crop (ref stereoflow/train.py:109-112)."""
+    training crop (ref stereoflow/train.py:109-112).  The kwargs->config
+    mapping itself lives in models.croco_downstream.cfg_from_croco_kwargs
+    (shared with pretraining.parse_croco_model).
+
+    NOTE: the reference interpolates stored cosine pos embeds to the new
+    crop (train.py:122 interpolate_pos_embed); here sincos embeds are
+    computed per grid size on the fly, so no interpolation step exists."""
     kw = dict(kw)
     kw.pop("img_size", None)
     kw.pop("mask_ratio", None)
-    pos = kw.pop("pos_embed", "cosine")
-    rope = 100.0 if str(pos).startswith("RoPE") else 0.0
-    cfg = DUSt3RConfig(
-        img_size=tuple(crop_hw),
-        patch_size=kw.pop("patch_size", 16),
-        enc=ViTConfig(dim=kw.pop("enc_embed_dim", 768),
-                      depth=kw.pop("enc_depth", 12),
-                      num_heads=kw.pop("enc_num_heads", 12),
-                      rope_base=rope),
-        dec=ViTConfig(dim=kw.pop("dec_embed_dim", 512),
-                      depth=kw.pop("dec_depth", 8),
-                      num_heads=kw.pop("dec_num_heads", 16),
-                      rope_base=rope),
-    )
-    if kw:
-        raise ValueError(f"unsupported CroCoNet kwargs: {sorted(kw)}")
-    return cfg
-    # NOTE: the reference interpolates stored cosine pos embeds to the new
-    # crop (train.py:122 interpolate_pos_embed); here sincos embeds are
-    # computed per grid size on the fly, so no interpolation step exists.
+    return cfg_from_croco_kwargs(kw, tuple(crop_hw))
 
 
 def init_stereoflow(key, cfg: DUSt3RConfig, num_channels: int):

@@ -617,11 +617,31 @@ def _merge_eval_stats(losses_all, detail_sums, world: int,
         pad[:len(losses_all)] = losses_all
         gathered = np.asarray(gather_fn(pad)).ravel()
         losses_all = gathered[np.isfinite(gathered)].tolist()
+        # Detail merge must be UNCONDITIONAL: a rank whose eval shard is
+        # empty (n < world) has detail_sums == {} — gating the gathers on a
+        # rank-local `if names` would leave that rank out of a collective
+        # its peers enter, deadlocking eval.  Width and names are agreed
+        # via gathers; empty ranks contribute zeros.  Non-empty ranks all
+        # share the same key set (fixed by the loss fn), so sorted order
+        # aligns columns.
         names = sorted(detail_sums)
-        if names:
-            vals = np.asarray([detail_sums[k] for k in names], np.float32)
-            summed = np.asarray(gather_fn(vals)).reshape(world, -1).sum(0)
-            detail_sums = dict(zip(names, summed.tolist()))
+        n_names = np.asarray(gather_fn(np.asarray([len(names)],
+                                                  np.int32))).ravel()
+        nw = int(n_names.max()) if n_names.size else 0
+        enc = np.zeros((max(1, nw), 48), np.uint8)
+        for i, k in enumerate(names):
+            kb = k.encode()[:48]
+            enc[i, :len(kb)] = np.frombuffer(kb, np.uint8)
+        enc_all = np.asarray(gather_fn(enc)).reshape(world, max(1, nw), 48)
+        vals = np.zeros(max(1, nw), np.float32)
+        for i, k in enumerate(names):
+            vals[i] = detail_sums[k]
+        summed = np.asarray(gather_fn(vals)).reshape(world, -1).sum(0)
+        if nw:
+            src = int(np.argmax(n_names))  # a rank with the full key set
+            names_g = [bytes(row[row != 0]).decode()
+                       for row in enc_all[src, :int(n_names[src])]]
+            detail_sums = dict(zip(names_g, summed[:len(names_g)].tolist()))
     if not losses_all:
         return {}
     stats = {"loss_avg": float(np.mean(losses_all)),

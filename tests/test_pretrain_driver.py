@@ -105,6 +105,38 @@ def test_parse_croco_model():
         parse_croco_model("CroCoNet(bogus_kwarg=1)")
 
 
+def test_pair_loader_equal_batches_across_ranks():
+    """Every rank must yield exactly len(loader) batches even when world
+    doesn't divide the dataset size — a rank with one extra batch enters a
+    collective train step its peers never join (multihost deadlock).  The
+    union of sampled items must stay duplicate-free."""
+    from spann3r_tpu.pretraining import PairLoader
+
+    class _Items:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            a = np.full((2, 2, 3), i, np.float32)
+            return a, a + 100
+
+    for n, bs, world in ((11, 2, 2), (5, 2, 8), (16, 3, 4)):
+        ds = _Items(n)
+        loaders = [PairLoader(ds, bs, seed=0, world=world, rank=r)
+                   for r in range(world)]
+        expect = n // (bs * world)
+        seen = []
+        for ld in loaders:
+            batches = list(ld)
+            assert len(batches) == expect == len(ld)
+            for a, _b in batches:
+                seen.extend(int(v) for v in a[:, 0, 0, 0])
+        assert len(seen) == len(set(seen)) == expect * bs * world
+
+
 def test_pretrain_driver_end_to_end(habitat_root, tmp_path):
     """Two epochs of the full driver on the synthetic pairs: finite loss,
     checkpoint-last written, JSONL log, auto-resume path."""

@@ -149,24 +149,68 @@ def test_eval_epoch_rank_sharded_matches_unsharded(rng, monkeypatch):
     # strided partition: rank 0 gets items 0,2,4; rank 1 gets 1,3
     assert len(l0) == 3 and len(l1) == 2
 
-    names = sorted(d0)
-
-    def scripted_gather(x):
-        x = np.asarray(x)
-        if x.dtype == np.int32:                       # batch counts
-            other = np.asarray([len(l1)], np.int32)
-        elif x.shape == (len(names),):                # detail sums
-            other = np.asarray([d1[k] for k in names], np.float32)
-        else:                                         # padded losses
-            other = np.full_like(x, np.nan)
-            other[:len(l1)] = l1
-        return np.stack([x, other])
-
-    merged = real_merge(l0, d0, world=2, gather_fn=scripted_gather)
+    merged = real_merge(l0, d0, world=2,
+                        gather_fn=_scripted_gather(l1, d1))
     assert set(merged) == set(stats_ref)
     for k in stats_ref:
         np.testing.assert_allclose(merged[k], stats_ref[k], rtol=1e-6,
                                    err_msg=k)
+
+
+def _scripted_gather(other_losses, other_details):
+    """Emulates process_allgather for a 2-rank merge: supplies the OTHER
+    rank's contribution per collective, in _merge_eval_stats' fixed call
+    order (batch counts, padded losses, name count, encoded names, detail
+    sums).  Tracks the call count so tests can assert both ranks enter the
+    same number of collectives (the multihost deadlock invariant)."""
+    onames = sorted(other_details)
+    state = {"calls": 0}
+
+    def gather(x):
+        x = np.asarray(x)
+        i = state["calls"]
+        state["calls"] += 1
+        if i == 0:                                    # per-rank batch counts
+            other = np.asarray([len(other_losses)], np.int32)
+        elif i == 1:                                  # NaN-padded losses
+            other = np.full_like(x, np.nan)
+            other[:len(other_losses)] = other_losses
+        elif i == 2:                                  # per-rank name counts
+            other = np.asarray([len(onames)], np.int32)
+        elif i == 3:                                  # uint8-encoded names
+            other = np.zeros_like(x)
+            for j, k in enumerate(onames):
+                kb = k.encode()[:x.shape[1]]
+                other[j, :len(kb)] = np.frombuffer(kb, np.uint8)
+        else:                                         # zero-padded sums
+            other = np.zeros_like(x)
+            for j, k in enumerate(onames):
+                other[j] = other_details[k]
+        return np.stack([x, other])
+
+    gather.state = state
+    return gather
+
+
+def test_eval_merge_empty_shard_rank():
+    """An empty eval shard (more hosts than eval items) must still enter
+    every collective — gating a gather on rank-local state deadlocks the
+    other ranks.  Both sides of a 2-rank merge where rank 1 saw nothing
+    must make the SAME number of gather calls and produce the stats of the
+    non-empty rank alone."""
+    losses0, details0 = [0.5, 1.5], {"la": 2.0, "lb": 4.0}
+
+    g0 = _scripted_gather([], {})
+    merged0 = tr._merge_eval_stats(list(losses0), dict(details0), world=2,
+                                   gather_fn=g0)
+    g1 = _scripted_gather(losses0, details0)
+    merged1 = tr._merge_eval_stats([], {}, world=2, gather_fn=g1)
+
+    assert g0.state["calls"] == g1.state["calls"]  # lockstep collectives
+    for merged in (merged0, merged1):
+        np.testing.assert_allclose(merged["loss_avg"], 1.0)
+        np.testing.assert_allclose(merged["la"], 1.0)   # 2.0 / 2 batches
+        np.testing.assert_allclose(merged["lb"], 2.0)
 
 
 def test_train_step_t10(rng):
