@@ -93,12 +93,34 @@ def init_decoder_block_stack(key, cfg: ViTConfig, dtype=jnp.float32):
 def _remat_policy():
     """Checkpoint policy for block rematerialization.
 
-    SPANN3R_REMAT_POLICY=dots keeps matmul outputs resident (recompute only
-    the cheap elementwise chain on the backward pass); default recomputes
-    everything (minimum memory)."""
+    SPANN3R_REMAT_POLICY selects what the backward pass may reuse instead
+    of recomputing (default: nothing — minimum memory, full recompute):
+      dots  — keep every matmul output resident (recompute only the cheap
+              elementwise chain); OOMs the 16 GB chip at B=4 T=5 @224
+              full-size (the 4x-width MLP hiddens dominate).
+      attn  — keep ONLY the checkpoint-named attention chain (post-rope
+              q/k/v, softmax probs, PV output; ops/attention.py) — the
+              backward then recomputes just layernorms + the MLP fc1
+              matmul, cutting ~2/3 of the recompute FLOPs for ~1/3 of the
+              dots policy's residency (MLP hiddens excluded by name).
+      nomlp — keep everything EXCEPT the named MLP hiddens (broader than
+              dots: every intermediate is saveable).
+
+    Measured on the v5e at Spann3R train shapes these LOSE to the default
+    full-recompute (PERF.md: pinned q/k/v+probs break the rope/softmax
+    matmul fusions and the saves crowd out compile memory at B=4); they
+    are numerics-neutral opt-ins for other shape regimes, not the
+    recommended operating point."""
     import os
-    if os.environ.get("SPANN3R_REMAT_POLICY") == "dots":
+    val = os.environ.get("SPANN3R_REMAT_POLICY")
+    if val == "dots":
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if val == "attn":
+        return jax.checkpoint_policies.save_only_these_names(
+            "qkv", "attn_probs", "attn_out")
+    if val == "nomlp":
+        return jax.checkpoint_policies.save_anything_except_these_names(
+            "mlp_pre", "mlp_hidden")
     return None
 
 

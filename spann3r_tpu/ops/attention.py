@@ -16,6 +16,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from .layers import init_linear, linear
 from .rope import rope_2d
@@ -46,9 +47,13 @@ def _sdpa(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
         return fused_sdpa(q, k, v, scale)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs, v,
-                      preferred_element_type=jnp.float32).astype(v.dtype)
+    # checkpoint names let selective remat policies keep the attention
+    # chain resident (see models/vit._remat_policy); inert otherwise
+    probs = checkpoint_name(jax.nn.softmax(logits, axis=-1).astype(v.dtype),
+                            "attn_probs")
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    return checkpoint_name(out, "attn_out")
 
 
 def self_attention(p, x: jax.Array, pos: Optional[jax.Array], num_heads: int,
@@ -62,6 +67,7 @@ def self_attention(p, x: jax.Array, pos: Optional[jax.Array], num_heads: int,
     if pos is not None and rope_base > 0:
         q = rope_2d(q, pos, rope_base)
         k = rope_2d(k, pos, rope_base)
+    q, k, v = (checkpoint_name(t, "qkv") for t in (q, k, v))
     out = _sdpa(q, k, v, head_dim ** -0.5)
     return linear(p["proj"], _merge_heads(out))
 
@@ -79,6 +85,7 @@ def cross_attention(p, query: jax.Array, key: jax.Array, value: jax.Array,
         q = rope_2d(q, qpos, rope_base)
     if kpos is not None and rope_base > 0:
         k = rope_2d(k, kpos, rope_base)
+    q, k, v = (checkpoint_name(t, "qkv") for t in (q, k, v))
     out = _sdpa(q, k, v, head_dim ** -0.5)
     return linear(p["proj"], _merge_heads(out))
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 
 def dot(x: jax.Array, w: jax.Array) -> jax.Array:
@@ -54,8 +55,14 @@ def gelu(x: jax.Array) -> jax.Array:
 
 
 def mlp(p, x: jax.Array) -> jax.Array:
-    """Transformer MLP: fc1 -> GELU -> fc2 (ref croco/models/blocks.py:58-79)."""
-    return linear(p["fc2"], gelu(linear(p["fc1"], x)))
+    """Transformer MLP: fc1 -> GELU -> fc2 (ref croco/models/blocks.py:58-79).
+
+    The 4x-width hidden activations are checkpoint-named so selective
+    remat policies (models/vit._remat_policy) can exclude exactly these —
+    they dominate per-block activation memory; recomputing them costs one
+    matmul.  Names are inert without a names-aware policy."""
+    pre = checkpoint_name(linear(p["fc1"], x), "mlp_pre")
+    return linear(p["fc2"], checkpoint_name(gelu(pre), "mlp_hidden"))
 
 
 def conv2d(p, x: jax.Array, stride: int = 1, padding="SAME") -> jax.Array:

@@ -258,3 +258,27 @@ def test_remat_scan_matches_default(rng):
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("policy", ["dots", "attn", "nomlp"])
+def test_remat_policy_matches_default(rng, policy, monkeypatch):
+    """Selective SPANN3R_REMAT_POLICY values (what the backward may reuse
+    instead of recomputing; models/vit._remat_policy) must be
+    numerics-neutral: the policy changes residency/recompute scheduling
+    only, never values or gradients."""
+    cfg = tiny_cfg()
+    params = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
+    frames = jnp.asarray(rng.standard_normal((2, 3, *HW, 3)), jnp.float32) * .3
+
+    def loss(p):
+        out = sp.forward_train(p, frames, cfg, FP32, rng=None, remat=True)
+        return jnp.mean(jnp.square(out["pts3d_1"])) + jnp.mean(out["conf_2"])
+
+    monkeypatch.delenv("SPANN3R_REMAT_POLICY", raising=False)
+    l0, g0 = jax.value_and_grad(loss)(params)
+    monkeypatch.setenv("SPANN3R_REMAT_POLICY", policy)
+    l1, g1 = jax.value_and_grad(loss)(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -82,7 +82,12 @@ def main():
     prec = BF16_FAST if args.bf16_heads else BF16
     fwd = model_flops_per_frame(cfg, hw, b, prec) * (t - 1)
 
-    params0 = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
+    # master params live on HOST: train_step donates its params, so each
+    # variant needs a fresh device copy — but keeping a device-side master
+    # pins an extra ~2.7 GB of fp32 weights for the whole run (enough to
+    # OOM the 16 GB chip at B=4 @224)
+    params0 = jax.tree.map(np.asarray,
+                           sp.init_spann3r(jax.random.PRNGKey(0), cfg))
     opt = tr.make_optimizer(0.05)
     results = {}
 
@@ -91,22 +96,35 @@ def main():
         os.environ.pop("SPANN3R_REMAT_SCAN", None)
         remat = True
         recompute_factor = 1.0
-        if variant == "pairremat":
-            # checkpoint the whole pair-step scan body on top of per-block
-            # remat: backward recomputes the step once more -> ~2x fwd extra
-            os.environ["SPANN3R_REMAT_SCAN"] = "1"
-            recompute_factor = 2.0
-        elif variant == "dots":
-            os.environ["SPANN3R_REMAT_POLICY"] = "dots"
-            recompute_factor = 0.35   # elementwise-only recompute (approx)
-        elif variant == "none":
-            remat = False
-            recompute_factor = 0.0
+        # composable: "pairremat+attn" = scan-level remat with the attn
+        # block policy applied inside the recomputed step
+        for part in variant.split("+"):
+            if part == "pairremat":
+                # checkpoint the whole pair-step scan body on top of
+                # per-block remat: backward recomputes the step once more
+                os.environ["SPANN3R_REMAT_SCAN"] = "1"
+                recompute_factor += 1.0
+            elif part == "dots":
+                os.environ["SPANN3R_REMAT_POLICY"] = "dots"
+                recompute_factor -= 0.65  # elementwise-only recompute
+            elif part == "attn":
+                # attention chain saved by name; backward recomputes norms
+                # + the MLP fc1 matmul only (~4/12 of block matmul FLOPs)
+                os.environ["SPANN3R_REMAT_POLICY"] = "attn"
+                recompute_factor -= 0.6
+            elif part == "nomlp":
+                os.environ["SPANN3R_REMAT_POLICY"] = "nomlp"
+                recompute_factor -= 0.65
+            elif part == "none":
+                remat = False
+                recompute_factor -= 1.0
+            else:
+                assert part == "default", f"unknown variant {part!r}"
         total_flops = fwd * (3.0 + recompute_factor)
 
         try:
             step = tr.make_train_step(cfg, prec, opt, remat=remat)
-            params = jax.tree.map(lambda x: x, params0)
+            params = jax.tree.map(jnp.asarray, params0)
             opt_state = opt.init(params)
             key = jax.random.PRNGKey(1)
             # compile + first step
