@@ -27,7 +27,18 @@ from .vit import (decoder_block_apply, encoder_apply,
 
 def init_croco(key, cfg: DUSt3RConfig, dtype=jnp.float32):
     """CroCoNet params: shared encoder, single cross-attending decoder,
-    mask token + linear RGB prediction head (ref croco.py:39-108)."""
+    mask token + linear RGB prediction head (ref croco.py:39-108).
+
+    One fused jitted program on accelerator backends (eager per-leaf RNG
+    dispatches each pay a tunnel round-trip on the axon setup — see
+    models/spann3r.init_spann3r); plain eager on CPU where tests init
+    many tiny configs."""
+    if jax.default_backend() != "cpu":
+        return _init_croco_jitted(key, cfg, dtype)
+    return _init_croco(key, cfg, dtype)
+
+
+def _init_croco(key, cfg: DUSt3RConfig, dtype=jnp.float32):
     keys = jax.random.split(key, 8)
     ps = cfg.patch_size
     return {
@@ -40,6 +51,9 @@ def init_croco(key, cfg: DUSt3RConfig, dtype=jnp.float32):
         "mask_token": jax.random.normal(keys[4], (1, 1, cfg.dec.dim), dtype) * 0.02,
         "prediction_head": init_linear(keys[5], cfg.dec.dim, ps * ps * 3, dtype=dtype),
     }
+
+
+_init_croco_jitted = jax.jit(_init_croco, static_argnums=(1, 2))
 
 
 def random_mask(rng: jax.Array, batch: int, num_patches: int,

@@ -41,6 +41,23 @@ def value_encoder_cfg(cfg: Spann3RConfig) -> ViTConfig:
 
 
 def init_spann3r(key, cfg: Spann3RConfig, dtype=jnp.float32):
+    """Random-init the full param pytree (ref spann3r/model.py:222-261 module
+    tree; initializer choices documented on the leaf init fns).
+
+    On an accelerator backend the whole init runs as ONE jitted program:
+    eagerly, the ~hundreds of small RNG dispatches each pay a tunnel
+    round-trip + remote mini-compile on the axon setup (measured 193 s for
+    the full model); one fused program is 79 s to compile once, then ~15 s
+    in every later process via the persistent compile cache. On CPU (the
+    test path, many tiny throwaway configs) eager is faster than
+    compiling, so the wrapper is skipped.
+    """
+    if jax.default_backend() != "cpu":
+        return _init_spann3r_jitted(key, cfg, dtype)
+    return _init_spann3r(key, cfg, dtype)
+
+
+def _init_spann3r(key, cfg: Spann3RConfig, dtype=jnp.float32):
     keys = jax.random.split(key, 8)
     p = {
         "dust3r": d3.init_dust3r(keys[0], cfg.dust3r, dtype),
@@ -57,6 +74,9 @@ def init_spann3r(key, cfg: Spann3RConfig, dtype=jnp.float32):
         p["pos_patch_embed"] = init_patch_embed(keys[5], cfg.dust3r.patch_size,
                                                 3, cfg.dust3r.enc.dim, dtype)
     return p
+
+
+_init_spann3r_jitted = jax.jit(_init_spann3r, static_argnums=(1, 2))
 
 
 def _init_attn_head(key, cfg: Spann3RConfig, dtype):
