@@ -49,6 +49,12 @@ def load_model(args):
               f"using random init (smoke-test mode)")
         params = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
     prec = FP32 if args.fp32 else BF16
+    if not args.fp32 and not getattr(args, "int8", False):
+        # bf16 weight storage: bit-identical under BF16 (weights are cast
+        # to the activation dtype at use anyway; LN + heads stay fp32),
+        # halves device residency + transfer (ops/quant.cast_serving_weights)
+        from spann3r_tpu.ops.quant import cast_serving_weights
+        params = cast_serving_weights(params)
     if getattr(args, "int8", False):
         import jax.numpy as jnp
         from spann3r_tpu.ops.quant import (count_quantized,

@@ -130,6 +130,11 @@ def main(args):
     else:
         print(f"WARNING: {ckpt_path} missing; random init (smoke test)")
         params = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
+    if not args.fp32:
+        # bf16 weight storage: bit-identical under BF16 serving (see
+        # ops/quant.cast_serving_weights), halves device residency
+        from spann3r_tpu.ops.quant import cast_serving_weights
+        params = cast_serving_weights(params)
 
     for name, dataset in build_eval_datasets(args).items():
         save_path = osp.join(exp_path, name + ("_offline" if args.offline else ""))

@@ -20,6 +20,37 @@ import jax
 import jax.numpy as jnp
 
 
+def cast_serving_weights(params, dtype=jnp.bfloat16):
+    """Store serving weights in bf16 — bit-identical under BF16 precision.
+
+    linear/conv cast `w`/`b` to the ACTIVATION dtype at every use site
+    (ops/layers.py:29-39), so for leaves consumed only by bf16-activation
+    paths, storing bf16 produces exactly the same compute as storing fp32
+    and casting per program — while halving device residency (~1.3 GB for
+    the full model) and checkpoint->device transfer. Kept fp32 because
+    their use sites UPCAST to fp32 (where bf16 storage would change
+    numerics):
+      - LayerNorm {'scale','bias'} nodes (normalized in fp32 for parity
+        with the reference's AMP policy, ops/layers.py:42-49);
+      - 'head*' subtrees (fp32 heads, config.BF16.head_dtype).
+    Exactness is pinned by tests/test_quant.py. Works on numpy or jax
+    leaves; returns a new pytree.
+    """
+    def walk(node):
+        if isinstance(node, dict):
+            if set(node) == {"scale", "bias"}:  # LayerNorm: fp32 use site
+                return dict(node)
+            return {k: (v if k.startswith("head") else walk(v))
+                    for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        if node is None or not jnp.issubdtype(node.dtype, jnp.floating):
+            return node
+        return node.astype(dtype)
+
+    return walk(params)
+
+
 def _quantize_weight(w: jax.Array):
     """w (..., in, out) fp -> (q int8, scale fp32 broadcastable to w)."""
     wf = w.astype(jnp.float32)

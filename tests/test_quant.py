@@ -112,3 +112,39 @@ def test_head_subtrees_not_quantized():
     for ah in ("attn_head_1", "attn_head_2"):
         for fc in ("fc1", "fc2"):
             assert "w" in out[ah][fc] and "w_q" not in out[ah][fc]
+
+
+def test_cast_serving_weights_bitwise_exact_under_bf16(rng):
+    """bf16 weight storage must be BIT-IDENTICAL to fp32 storage under BF16
+    serving: linear/conv cast weights to the activation dtype at use, so
+    pre-casting the bf16-consumed leaves changes nothing; LN params and
+    head subtrees (fp32 use sites) are kept fp32 by cast_serving_weights."""
+    import os
+    import sys
+
+    import jax
+
+    from spann3r_tpu.config import BF16
+    from spann3r_tpu.models import spann3r as sp
+    from spann3r_tpu.ops.quant import cast_serving_weights
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_precision_modes import HW, T, _run, tiny_cfg
+
+    cfg = tiny_cfg()
+    params = sp.init_spann3r(jax.random.PRNGKey(3), cfg)
+    frames = jnp.asarray(rng.standard_normal((T, 1, *HW, 3)), jnp.float32) * .4
+
+    cast = cast_serving_weights(params)
+    # structure: LN nodes + heads stay fp32, transformer weights go bf16
+    assert cast["norm_q"]["scale"].dtype == jnp.float32
+    assert cast["dust3r"]["head1"]["act0_conv"]["w"].dtype == jnp.float32
+    assert cast["dust3r"]["enc_blocks"]["attn"]["qkv"]["w"].dtype == jnp.bfloat16
+    assert cast["attn_head_1"]["fc1"]["w"].dtype == jnp.bfloat16
+    assert cast["dust3r"]["enc_norm"]["scale"].dtype == jnp.float32
+
+    pts_a, conf_a, em_a = _run(params, cfg, frames, BF16)
+    pts_b, conf_b, em_b = _run(cast, cfg, frames, BF16)
+    np.testing.assert_array_equal(pts_a, pts_b)
+    np.testing.assert_array_equal(conf_a, conf_b)
+    np.testing.assert_array_equal(em_a, em_b)
