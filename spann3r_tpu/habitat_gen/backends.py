@@ -40,7 +40,13 @@ class SceneBackend:
 class HabitatSimBackend(SceneBackend):
     """The reference's simulator configuration, verbatim
     (ref multiview_habitat_sim_generator.py:173-226): RGB + DEPTH camera
-    sensors, pre-computed navmesh if given else recomputed."""
+    sensors, pre-computed navmesh if given else recomputed.
+
+    UNTESTED-BY-CONSTRUCTION: habitat-sim is not installed in this image,
+    so this class has never executed here — only its import gate is
+    exercised.  `BoxRoomBackend` below is the CI-tested backend; treat
+    this one as a port that needs a smoke run the first time habitat-sim
+    is actually available."""
 
     def __init__(self, scene: str, navmesh: str,
                  scene_dataset_config_file: str, resolution, hfov: float,
