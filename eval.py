@@ -55,57 +55,11 @@ def build_eval_datasets(args):
 
 def evaluate_scene(params, cfg, prec, batch, args):
     """Run reconstruction + alignment for one scene; returns aligned
-    pred/gt clouds, masks, colors, fps."""
-    import jax.numpy as jnp
-    from spann3r_tpu import losses as L
-    from spann3r_tpu.models import spann3r as sp
-    from spann3r_tpu.utils.geometry import geotrf
-
-    from spann3r_tpu.api import reconstruct_video
-    preds, order, fps = reconstruct_video(
-        params, cfg, batch["img"], prec, offline=args.offline,
-        scene_graph=args.scenegraph_type)
-
-    # stack predictions as (T-1,...) pairs for the alignment criterion
-    t = len(preds)
-    key = lambda j: "pts3d" if j == 0 else "pts3d_in_other_view"
-    pts_seq = np.stack([np.asarray(preds[j][key(j)], np.float32)[0]
-                        for j in range(t)])
-    conf_seq = np.stack([np.asarray(preds[j]["conf"], np.float32)[0]
-                         for j in range(t)])
-
-    ordered = {k: batch[k][order] for k in
-               ("pts3d", "valid_mask", "camera_pose", "img")}
-    gts = {"pts3d": jnp.asarray(ordered["pts3d"]),
-           "valid_mask": jnp.asarray(ordered["valid_mask"]),
-           "camera_pose": jnp.asarray(ordered["camera_pose"])}
-    # preds_(1/2) layout expected by the criterion: left list = frames
-    # 0..T-2, right list = frames 1..T-1 (ref loss.py:137-180)
-    preds_j = {"pts3d_1": jnp.asarray(pts_seq[:-1, None]),
-               "pts3d_2": jnp.asarray(pts_seq[1:, None]),
-               "conf_1": jnp.asarray(conf_seq[:-1, None]),
-               "conf_2": jnp.asarray(conf_seq[1:, None])}
-
-    gt_pts, pr_l, pr_r, _, _, valids, monitoring = L.regr3d_t_scale_shift_inv(
-        gts, preds_j, gt_scale=True, norm_mode=False)
-
-    # re-anchor into the world frame (ref eval.py:139-156): add back the
-    # PRE-subtraction GT median depth shift and transform by camera_pose[0]
-    gt_shift = monitoring["gt_shift_z"]
-    in_cam1 = jnp.asarray(ordered["camera_pose"][0])
-
-    pts_aligned, gt_aligned = [], []
-    for j in range(t):
-        p = pr_l[j] if j < t - 1 else pr_r[-1]
-        p = p.at[..., 2].add(gt_shift[:, None, None])
-        g = gt_pts[j].at[..., 2].add(gt_shift[:, None, None])
-        pts_aligned.append(np.asarray(geotrf(in_cam1, p))[0])
-        gt_aligned.append(np.asarray(geotrf(in_cam1, g))[0])
-
-    masks = ordered["valid_mask"][:, 0]
-    colors = (ordered["img"][:, 0] + 1.0) / 2.0
-    return (np.stack(pts_aligned), np.stack(gt_aligned), masks, colors, fps,
-            preds, order, conf_seq)
+    pred/gt clouds, masks, colors, fps.  (Core logic lives in
+    spann3r_tpu.tools.eval_pipeline so the synthetic gates reuse it.)"""
+    from spann3r_tpu.tools.eval_pipeline import evaluate_scene as _core
+    return _core(params, cfg, prec, batch, offline=args.offline,
+                 scene_graph=args.scenegraph_type)
 
 
 def main(args):

@@ -25,6 +25,7 @@ from .sampler import BatchedRandomSampler
 from .scannet import Scannet
 from .scannetpp import Scannetpp
 from .seven_scenes import SevenScenes
+from .synth import SynthRoom
 
 REGISTRY: Dict[str, Any] = {
     "Demo": Demo,
@@ -38,6 +39,7 @@ REGISTRY: Dict[str, Any] = {
     "BlendMVS": BlendMVS,
     "Co3d": Co3d,
     "habitat": habitat,
+    "SynthRoom": SynthRoom,
 }
 
 # names allowed as bare identifiers inside dataset expressions

@@ -91,12 +91,21 @@ def param_sharding(mesh: Mesh, params, min_dim: int = 1024,
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch with the data axis sharded."""
+    """Device-put a host batch with the data axis sharded.
+
+    Multi-process: each process's loader yields its RANK-LOCAL batch (the
+    sampler shards by process_index), so the local array is one shard of
+    the global batch — assemble it with make_array_from_process_local_data.
+    A plain device_put would silently treat each rank's local batch as the
+    whole global batch (found by tests/test_multiprocess.py)."""
     sh = batch_sharding(mesh)
+    multiproc = jax.process_count() > 1
 
     def put(x):
         x = np.asarray(x)
         if x.ndim >= 2:
+            if multiproc:
+                return jax.make_array_from_process_local_data(sh, x)
             return jax.device_put(x, sh)
         return jax.device_put(x, replicated(mesh))
 

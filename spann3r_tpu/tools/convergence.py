@@ -1,0 +1,126 @@
+"""Synthetic convergence gate: prove the training system LEARNS.
+
+The reference's only end-to-end training evidence is "eval chamfer
+improves and the best checkpoint is kept"
+(/root/reference/spann3r/training.py:94-168, 377-405) on real datasets
+that are not present in this image.  This gate reproduces that evidence
+chain on procedural SynthRoom scenes (datasets/synth.py): run the REAL
+`training.train()` recipe (curriculum, alpha-c2f, per-iter LR schedule,
+optional accumulation / remat_scan) from random init, and require that
+
+  1. held-out eval loss (test_one_epoch protocol) drops, and
+  2. reconstruction chamfer through the REAL inference + alignment
+     pipeline (tools/eval_pipeline.evaluate_scene, the eval.py protocol)
+     drops,
+
+by a stated margin.  tools/convergence_gate.py runs this on the TPU and
+records the artifact; tests/test_convergence.py runs a miniature on CPU.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def synth_chamfer(params, cfg, prec, dataset, n_scenes: Optional[int] = None,
+                  offline: bool = False) -> Dict[str, float]:
+    """Masked accuracy/completion of full-pipeline reconstructions over the
+    first `n_scenes` items of a full-video dataset (eval.py:167-197 metric
+    protocol, without the ICP refinement — random-init clouds are too far
+    from GT for ICP to be meaningful, and the gate measures the *change*)."""
+    from ..datasets.loader import collate_views
+    from .eval_pipeline import evaluate_scene
+    from .eval_recon import accuracy, completion
+
+    n = len(dataset) if n_scenes is None else min(n_scenes, len(dataset))
+    accs, comps = [], []
+    for i in range(n):
+        batch = collate_views([dataset[i]])
+        pts, gts, masks, _, _, _, _, _ = evaluate_scene(
+            params, cfg, prec, batch, offline=offline)
+        m = np.asarray(masks) > 0
+        acc, _ = accuracy(gts[m].reshape(-1, 3), pts[m].reshape(-1, 3))
+        comp, _ = completion(gts[m].reshape(-1, 3), pts[m].reshape(-1, 3))
+        accs.append(acc)
+        comps.append(comp)
+    return {"acc": float(np.mean(accs)), "comp": float(np.mean(comps)),
+            "chamfer": float((np.mean(accs) + np.mean(comps)) / 2.0),
+            "n_scenes": n}
+
+
+def _read_curve(output_dir: str) -> list:
+    path = os.path.join(output_dir, "log.txt")
+    if not os.path.exists(path):
+        return []
+    curve = []
+    with open(path) as f:
+        for line in f:
+            try:
+                curve.append(json.loads(line))
+            except json.JSONDecodeError:
+                pass
+    return curve
+
+
+def run_gate(args, model_cfg, chamfer_expr: str,
+             n_chamfer_scenes: int = 4,
+             artifact_path: Optional[str] = None) -> Dict[str, Any]:
+    """Eval-before -> train (real driver) -> eval-after.  Returns (and
+    optionally writes) the gate artifact with before/after eval stats,
+    before/after chamfer, and the per-epoch eval curve from log.txt."""
+    import jax
+    import jax.numpy as jnp
+
+    from .. import training as tr
+    from ..config import BF16, Precision
+    from ..datasets import build_dataset
+    from ..models import spann3r as sp
+
+    prec = BF16 if args.bf16 else Precision(compute_dtype=jnp.float32)
+    params0 = sp.init_spann3r(jax.random.PRNGKey(args.seed), model_cfg)
+
+    eval_step = tr.make_eval_step(model_cfg, prec)
+    test_ds = build_dataset(args.test_dataset)
+    if hasattr(test_ds, "set_epoch"):
+        test_ds.set_epoch(0)
+    before_eval = tr.test_one_epoch(eval_step, params0, test_ds,
+                                    args.batch_size_test, output_dir=None)
+
+    chamfer_ds = build_dataset(chamfer_expr)
+    before_chamfer = synth_chamfer(params0, model_cfg, prec, chamfer_ds,
+                                   n_chamfer_scenes)
+    del params0
+
+    result = tr.train(args, model_cfg=model_cfg)
+    params1 = result["params"]
+
+    after_eval = tr.test_one_epoch(eval_step, params1, test_ds,
+                                   args.batch_size_test, output_dir=None)
+    after_chamfer = synth_chamfer(params1, model_cfg, prec, chamfer_ds,
+                                  n_chamfer_scenes)
+
+    artifact = {
+        "train_dataset": args.train_dataset,
+        "test_dataset": args.test_dataset,
+        "chamfer_dataset": chamfer_expr,
+        "epochs": args.epochs, "batch_size": args.batch_size,
+        "accum_iter": args.accum_iter, "remat_scan": bool(args.remat_scan),
+        "lr": args.lr, "alpha_c2f": bool(args.alpha_c2f),
+        "bf16": bool(args.bf16),
+        "before": {"eval": before_eval, "chamfer": before_chamfer},
+        "after": {"eval": after_eval, "chamfer": after_chamfer},
+        "curve": _read_curve(args.output_dir),
+        "eval_improved": after_eval.get("loss_med", np.inf)
+        < before_eval.get("loss_med", np.inf),
+        "chamfer_improved": after_chamfer["chamfer"]
+        < before_chamfer["chamfer"],
+    }
+    if artifact_path:
+        os.makedirs(os.path.dirname(os.path.abspath(artifact_path)),
+                    exist_ok=True)
+        with open(artifact_path, "w") as f:
+            json.dump(artifact, f, indent=1, default=float)
+    return artifact

@@ -326,7 +326,11 @@ class CheckpointManager:
 # driver
 # ---------------------------------------------------------------------------
 
-def train(args) -> Dict[str, Any]:
+def train(args, model_cfg: Optional[Spann3RConfig] = None) -> Dict[str, Any]:
+    """Run the full training recipe.  `model_cfg` overrides the model
+    architecture (the CLI always trains the production ViT-L config built
+    from --resolution/--head_type); the synthetic convergence gate and
+    tests inject tiny configs through it."""
     pmesh.init_distributed()
     rank = jax.process_index()
     world = jax.process_count()
@@ -334,9 +338,10 @@ def train(args) -> Dict[str, Any]:
 
     prec = BF16 if args.bf16 else Precision(compute_dtype=jnp.float32)
     from .config import DUSt3RConfig
-    cfg = Spann3RConfig(dust3r=DUSt3RConfig(
-        img_size=(args.resolution, args.resolution),
-        head_type=args.head_type))
+    cfg = model_cfg if model_cfg is not None else Spann3RConfig(
+        dust3r=DUSt3RConfig(
+            img_size=(args.resolution, args.resolution),
+            head_type=args.head_type))
 
     mesh = pmesh.make_mesh_for_batch(args.batch_size, model=args.model_axis)
     print(f"mesh: {mesh}; process {rank}/{world}")
@@ -458,10 +463,13 @@ def train(args) -> Dict[str, Any]:
                 med = test_stats[name].get("loss_med", float("inf"))
                 if med < best_so_far:
                     best_so_far = med
-                    if rank == 0:
-                        ckpt.save("best", params, opt_state, epoch - 1,
-                                  best_so_far)
-        if rank == 0 and epoch > start_epoch:
+                    # checkpoint saves are COLLECTIVE: orbax barriers across
+                    # processes, so every rank must enter (a rank-0-only
+                    # save deadlocks at world>1 — tests/test_multiprocess.py;
+                    # orbax writes each shard from the process that owns it)
+                    ckpt.save("best", params, opt_state, epoch - 1,
+                              best_so_far)
+        if epoch > start_epoch:
             if args.save_freq and (epoch % args.save_freq == 0
                                    or epoch == args.epochs):
                 ckpt.save("last", params, opt_state, epoch - 1, best_so_far)

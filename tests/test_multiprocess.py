@@ -1,0 +1,111 @@
+"""Two-process distributed smoke test (VERDICT r3 item 3).
+
+Spawns 2 REAL processes running tests/mp_worker.py under
+jax.distributed.initialize (CPU, gloo): sharded train steps over a
+process-spanning mesh, rank-sharded eval + allgather merge, and a
+collective orbax checkpoint written by both ranks.  The parent then
+restores that checkpoint single-process and re-runs the eval UNSHARDED —
+the workers' merged stats must match, proving the multi-process paths
+(batch assembly, grad all-reduce, eval merge, checkpoint interop) agree
+with the single-process ground truth.  This is the off-hardware guard for
+the multihost deadlock class fixed in d692745.
+
+Ref surface: /root/reference/croco/utils/misc.py:222-259 (NCCL DDP init).
+"""
+import json
+import os
+import os.path as osp
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+WORKER = osp.join(osp.dirname(osp.abspath(__file__)), "mp_worker.py")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_train_eval_ckpt(tmp_path):
+    port = _free_port()
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # workers pick their own device counts
+    procs, logs = [], []
+    for rank in (0, 1):
+        log = open(tmp_path / f"worker_{rank}.log", "w")
+        logs.append(log)
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER, str(rank), "2", str(port),
+             str(tmp_path)],
+            stdout=log, stderr=subprocess.STDOUT, env=env))
+    try:
+        for p in procs:
+            # generous: two worker processes share ONE host core with
+            # whatever else runs on this box; a compile-bound worker under
+            # contention measured ~9 min before the depth cut
+            p.wait(timeout=1500)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for log in logs:
+            log.close()
+
+    outs = [open(tmp_path / f"worker_{r}.log").read() for r in (0, 1)]
+    for r, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {r} failed:\n{out[-4000:]}"
+        assert f"WORKER_OK {r}" in out
+
+    r0 = json.load(open(tmp_path / "result_0.json"))
+    r1 = json.load(open(tmp_path / "result_1.json"))
+
+    # loss is computed on the GLOBAL batch; both ranks must see the same
+    # value even though each contributed different local shards
+    np.testing.assert_allclose(r0["losses"], r1["losses"], rtol=1e-6)
+    assert all(np.isfinite(r0["losses"]))
+    # replicated params identical across processes after sharded updates
+    f0, f1 = r0["fingerprints"], r1["fingerprints"]
+    assert f0 == f1 and abs(f0[0] - f0[1]) < 1e-9 * max(abs(f0[0]), 1)
+    # merged rank-sharded eval stats agree across ranks
+    assert set(r0["eval"]) == set(r1["eval"])
+    for k in r0["eval"]:
+        np.testing.assert_allclose(r0["eval"][k], r1["eval"][k], rtol=1e-6,
+                                   err_msg=k)
+    assert r0["epoch"] == 3 and abs(r0["best"] - 1.25) < 1e-6
+
+    # ---- single-process ground truth from the multi-process checkpoint ----
+    import jax
+
+    from spann3r_tpu import training as tr
+    from spann3r_tpu.config import DUSt3RConfig, FP32, Spann3RConfig, ViTConfig
+    from spann3r_tpu.datasets import build_dataset
+    from spann3r_tpu.models import spann3r as sp
+
+    cfg = Spann3RConfig(  # must match tests/mp_worker.py
+        dust3r=DUSt3RConfig(img_size=(32, 32), patch_size=16,
+                            enc=ViTConfig(dim=64, depth=2, num_heads=4),
+                            dec=ViTConfig(dim=48, depth=2, num_heads=4),
+                            head_type="linear"),
+        value_enc_depth=2, value_enc_dim=64, value_enc_heads=4,
+        attn_head_in=64 + 48, attn_head_out=64)
+    params = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
+    opt = tr.make_optimizer(0.05)
+    opt_state = opt.init(params)
+    mgr = tr.CheckpointManager(str(tmp_path))
+    restored = mgr.restore("last", {"params": params, "opt_state": opt_state,
+                                    "epoch": np.array(0, np.int32),
+                                    "best": np.array(0, np.float32)})
+    assert restored is not None, "multi-process checkpoint unreadable"
+
+    eval_ds = build_dataset("SynthRoom(num_seq=5, num_frames=3, "
+                            "resolution=32, seq_len=8, scene_seed=3, "
+                            "seed=777)")
+    eval_step = tr.make_eval_step(cfg, FP32)
+    stats = tr.test_one_epoch(eval_step, restored["params"], eval_ds, 1)
+    for k in ("loss_avg", "loss_med"):
+        np.testing.assert_allclose(stats[k], r0["eval"][k], rtol=1e-5,
+                                   err_msg=f"sharded merge != unsharded {k}")

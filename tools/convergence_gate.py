@@ -1,0 +1,115 @@
+"""TPU synthetic convergence gate (VERDICT r3 item 1).
+
+Runs the REAL training.train() recipe — per-iter LR schedule, frame-spacing
+curriculum, alpha coarse-to-fine, best-on-eval checkpointing — from random
+init on procedural SynthRoom scenes (spann3r_tpu/datasets/synth.py) for a
+few hundred steps on the real TPU, with test_one_epoch eval and
+full-pipeline reconstruction chamfer (streaming inference + the eval.py
+alignment protocol) measured before and after.  PASS requires held-out
+eval loss AND chamfer to improve.  The reference's equivalent evidence is
+"training improves eval chamfer, keep the best checkpoint"
+(/root/reference/spann3r/training.py:94-168, 377-405) — its datasets are
+not in this image, so this procedural gate is the strongest available
+proxy for the published-weights chamfer.
+
+Usage:
+    python tools/convergence_gate.py \
+        [--epochs 4] [--out tests/data/convergence_gate_r4.json]
+
+The CPU miniature of the same gate runs in tests/test_convergence.py.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def small_cfg(res: int):
+    """Small-but-real architecture: same topology as production (RoPE ViT
+    encoder, dual decoders, DPT head, value encoder + attention heads),
+    scaled to train from scratch in minutes on one chip."""
+    from spann3r_tpu.config import (DUSt3RConfig, MemoryConfig, Spann3RConfig,
+                                    ViTConfig)
+    return Spann3RConfig(
+        dust3r=DUSt3RConfig(
+            img_size=(res, res), patch_size=16,
+            enc=ViTConfig(dim=384, depth=6, num_heads=6),
+            dec=ViTConfig(dim=384, depth=12, num_heads=6),
+            head_type="dpt"),
+        memory=MemoryConfig(long_mem_size=1024),
+        value_enc_depth=3, value_enc_dim=384, value_enc_heads=6,
+        attn_head_in=384 + 384, attn_head_out=384)
+
+
+def main():
+    ap = argparse.ArgumentParser("synthetic convergence gate")
+    ap.add_argument("--resolution", type=int, default=112)
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--steps_per_epoch", type=int, default=50)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--output_dir", type=str, default="./output/conv_gate")
+    ap.add_argument("--out", type=str,
+                    default="tests/data/convergence_gate_r4.json")
+    ap.add_argument("--fp32", action="store_true")
+    args_cli = ap.parse_args()
+
+    from spann3r_tpu import training as tr
+    from spann3r_tpu.tools.convergence import run_gate
+
+    res = args_cli.resolution
+    args = tr.get_args_parser().parse_args([])
+    args.resolution = res
+    args.num_frames = 5
+    args.batch_size = args_cli.batch_size
+    args.batch_size_test = 4
+    args.epochs = args_cli.epochs
+    args.warmup_epochs = 1
+    args.lr = args_cli.lr
+    args.min_lr = 1e-6
+    args.eval_freq = 1
+    args.save_freq = args_cli.epochs  # last only
+    args.keep_freq = 0
+    args.print_freq = 10
+    args.num_workers = 1
+    args.bf16 = 0 if args_cli.fp32 else 1
+    args.remat = 1
+    args.seed = 0
+    args.output_dir = args_cli.output_dir
+    n_items = args_cli.steps_per_epoch * args_cli.batch_size
+    args.train_dataset = (
+        f"{n_items} @ SynthRoom(num_seq=32, num_frames=5, resolution={res}, "
+        f"seq_len=24, min_thresh=1, max_thresh=3, cache=True)")
+    args.test_dataset = (
+        f"SynthRoom(num_seq=8, num_frames=5, resolution={res}, seq_len=24, "
+        f"min_thresh=1, max_thresh=3, scene_seed=5, seed=777, cache=True)")
+    chamfer_expr = (
+        f"SynthRoom(num_seq=3, resolution={res}, seq_len=16, kf_every=2, "
+        f"full_video=True, scene_seed=9)")
+
+    t0 = time.time()
+    artifact = run_gate(args, small_cfg(res), chamfer_expr,
+                        n_chamfer_scenes=3, artifact_path=args_cli.out)
+    artifact["wall_s"] = time.time() - t0
+    artifact["date"] = time.strftime("%Y-%m-%d")
+    import json
+    with open(args_cli.out, "w") as f:
+        json.dump(artifact, f, indent=1, default=float)
+
+    b, a = artifact["before"], artifact["after"]
+    print(f"\n=== convergence gate ({artifact['wall_s']:.0f}s) ===")
+    print(f"eval loss_med : {b['eval'].get('loss_med'):.4f} -> "
+          f"{a['eval'].get('loss_med'):.4f}")
+    print(f"chamfer       : {b['chamfer']['chamfer']:.4f} -> "
+          f"{a['chamfer']['chamfer']:.4f} "
+          f"(acc {b['chamfer']['acc']:.4f} -> {a['chamfer']['acc']:.4f}, "
+          f"comp {b['chamfer']['comp']:.4f} -> {a['chamfer']['comp']:.4f})")
+    ok = artifact["eval_improved"] and artifact["chamfer_improved"]
+    print("GATE:", "PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
