@@ -118,6 +118,11 @@ def main():
     ap.add_argument("--sync_per_chunk", action="store_true",
                     help="fetch one element after every chunk (timing"
                          " cross-check; adds one tunnel RTT per chunk)")
+    ap.add_argument("--reps", type=int, default=1,
+                    help="timed repetitions; value = median FPS, and the "
+                         "min..max spread is reported as fps_spread. Short "
+                         "programs (@224) are tunnel-jittery: use >=5 reps "
+                         "(serving_table does) so one number is publishable")
     ap.add_argument("--profile", type=str, default=None,
                     help="write a jax.profiler trace to this directory")
     args = ap.parse_args()
@@ -214,7 +219,9 @@ def main():
         import jax.profiler as prof_mod
         prof_mod.start_trace(args.profile)
         prof = prof_mod
-    elapsed = timed_run(per_chunk_sync=args.sync_per_chunk)
+    elapsed_reps = [timed_run(per_chunk_sync=args.sync_per_chunk)
+                    for _ in range(max(args.reps, 1))]
+    elapsed = float(np.median(elapsed_reps))
     if prof is not None:
         prof.stop_trace()
 
@@ -228,9 +235,12 @@ def main():
         elapsed_pc = timed_run(per_chunk_sync=True)
         if elapsed < elapsed_pc * 0.75:
             elapsed, sync_mode = elapsed_pc, "per_chunk_fallback"
+            elapsed_reps = [elapsed_pc]
 
     fps = n_frames * b / elapsed
     ms_per_frame = elapsed / n_frames * 1e3
+    fps_spread = [round(n_frames * b / max(elapsed_reps), 2),
+                  round(n_frames * b / min(elapsed_reps), 2)]
     mfu = (flops_per_frame * n_frames / elapsed / peak) if flops_per_frame else 0.0
     print(json.dumps({
         "metric": f"incremental_recon_fps_{args.width}x{args.height}",
@@ -243,6 +253,8 @@ def main():
         "precision": ("int8" if args.int8 else
                       "bf16_fast" if args.bf16_heads else "bf16"),
         "sync": sync_mode,
+        "reps": len(elapsed_reps),
+        "fps_spread": fps_spread,
     }))
 
 

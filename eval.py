@@ -50,6 +50,14 @@ def build_eval_datasets(args):
         out["DTU"] = DTU(split="test", ROOT=osp.join(root, "dtu_test"),
                          resolution=args.resolution, num_seq=1,
                          full_video=True, kf_every=5)
+    if "synth" in wanted:
+        # procedural scenes with exact GT (datasets/synth.py) — drives the
+        # full eval CLI without any downloaded assets; also the int8 /
+        # convergence gates' dataset
+        from spann3r_tpu.datasets import SynthRoom
+        out["synth"] = SynthRoom(num_seq=3, resolution=args.resolution,
+                                 seq_len=16, kf_every=2, full_video=True,
+                                 scene_seed=9)
     return out
 
 

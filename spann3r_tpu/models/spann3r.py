@@ -197,9 +197,17 @@ def forward_train(params, frames: jax.Array, cfg: Spann3RConfig,
     dcfg = cfg.dust3r
     p_tokens = (h // dcfg.patch_size) * (w // dcfg.patch_size)
 
-    # one batched encoder pass over all frames
+    # one batched encoder pass over all frames.  SPANN3R_NO_REMAT_ENC=1
+    # keeps the encoder's activations resident instead of rematerializing
+    # them in the backward — the encoder is OUTSIDE the sequential pair
+    # scan (one big batched pass), so its saved activations are paid once,
+    # and skipping its recompute saves ~a full ViT-L forward per step.
+    # Opt-in: costs ~depth x B*T x P x dim x a-few tensors of bf16 HBM;
+    # measured ablation in tools/train_ablate.py ("encsave" variant).
+    remat_enc = remat and not os.environ.get("SPANN3R_NO_REMAT_ENC")
     flat = frames.reshape(b * t, h, w, 3)
-    feats, pos = d3.encode_image(params["dust3r"], flat, dcfg, prec, remat=remat)
+    feats, pos = d3.encode_image(params["dust3r"], flat, dcfg, prec,
+                                 remat=remat_enc)
     feats = feats.reshape(b, t, p_tokens, -1).transpose(1, 0, 2, 3)  # (T,B,P,D)
     pos = pos[:b]
 

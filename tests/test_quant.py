@@ -114,6 +114,42 @@ def test_head_subtrees_not_quantized():
             assert "w" in out[ah][fc] and "w_q" not in out[ah][fc]
 
 
+def test_int8_e2e_chamfer_close_to_bf16(rng):
+    """CPU miniature of tools/int8_gate.py: the FULL eval pipeline
+    (streaming reconstruction -> scale-shift-invariant alignment ->
+    accuracy/completion metrics, the eval.py protocol) with int8
+    weight-only serving must track the bf16 pipeline's chamfer closely.
+    The TPU gate (tools/int8_gate.py) additionally runs this on weights
+    trained by the convergence gate and records the artifact next to the
+    README's int8 FPS claim."""
+    from spann3r_tpu.config import BF16, DUSt3RConfig, Spann3RConfig, ViTConfig
+    from spann3r_tpu.datasets import build_dataset
+    from spann3r_tpu.models import spann3r as sp
+    from spann3r_tpu.tools.convergence import synth_chamfer
+
+    cfg = Spann3RConfig(
+        dust3r=DUSt3RConfig(img_size=(32, 32), patch_size=16,
+                            enc=ViTConfig(dim=512, depth=2, num_heads=4),
+                            dec=ViTConfig(dim=512, depth=2, num_heads=4),
+                            head_type="linear"),
+        value_enc_depth=2, value_enc_dim=512, value_enc_heads=4,
+        attn_head_in=512 + 512, attn_head_out=512)
+    params = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
+    ds = build_dataset("SynthRoom(num_seq=1, resolution=32, seq_len=6, "
+                       "full_video=True, scene_seed=4)")
+
+    m_bf16 = synth_chamfer(params, cfg, BF16, ds, 1)
+    qparams = quantize_linear_weights(params, min_dim=256)
+    assert count_quantized(qparams) > 10
+    m_int8 = synth_chamfer(qparams, cfg, BF16, ds, 1)
+
+    # same scene, same weights: int8 weight error must not move chamfer by
+    # more than a few % of its magnitude (both reconstructions are from the
+    # SAME random-init net, so this pins pipeline numerics, not quality)
+    rel = abs(m_int8["chamfer"] - m_bf16["chamfer"]) / m_bf16["chamfer"]
+    assert rel < 0.10, (m_bf16, m_int8)
+
+
 def test_cast_serving_weights_bitwise_exact_under_bf16(rng):
     """bf16 weight storage must be BIT-IDENTICAL to fp32 storage under BF16
     serving: linear/conv cast weights to the activation dtype at use, so

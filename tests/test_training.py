@@ -61,6 +61,54 @@ def test_sharded_train_step_runs_and_updates(rng):
     assert losses[-1] < losses[0]
 
 
+def test_fused_optimizer_matches_optax(rng):
+    """make_optimizer's fused single-pass update must match the equivalent
+    optax.chain(clip_by_global_norm, scale_by_adam, add_decayed_weights)
+    step-for-step (same math the reference gets from torch.AdamW + clip,
+    croco/utils/misc.py + spann3r/train launcher)."""
+    import optax
+    wd = 0.05
+    params = {"w": jnp.asarray(rng.standard_normal((8, 16)), jnp.float32),
+              "b": jnp.asarray(rng.standard_normal((16,)), jnp.float32)}
+    ref_opt = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.scale_by_adam(b1=0.9, b2=0.95),
+        optax.add_decayed_weights(wd, mask=tr.decay_mask))
+    fused_opt = tr.make_optimizer(wd)
+    ref_state, fused_state = ref_opt.init(params), fused_opt.init(params)
+    ref_p = fused_p = params
+    for i in range(5):
+        # alternate big grads (clip active: gnorm >> 1) and small (inactive)
+        scale = 100.0 if i % 2 == 0 else 1e-3
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(rng.standard_normal(p.shape),
+                                  jnp.float32) * scale, ref_p)
+        ru, ref_state = ref_opt.update(grads, ref_state, ref_p)
+        fu, fused_state = fused_opt.update(grads, fused_state, fused_p)
+        ref_p = optax.apply_updates(ref_p, jax.tree.map(lambda u: -1e-3 * u, ru))
+        fused_p = optax.apply_updates(fused_p, jax.tree.map(lambda u: -1e-3 * u, fu))
+        for a, b in zip(jax.tree.leaves(ref_p), jax.tree.leaves(fused_p)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+    # moments match too
+    np.testing.assert_allclose(np.asarray(ref_state[1].mu["w"]),
+                               np.asarray(fused_state.mu["w"]),
+                               rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ref_state[1].nu["b"]),
+                               np.asarray(fused_state.nu["b"]),
+                               rtol=1e-5, atol=1e-9)
+    assert int(fused_state.count) == 5
+
+    # bf16 moment storage: same trajectory within bf16 tolerance
+    bf16_opt = tr.make_optimizer(wd, moment_dtype=jnp.bfloat16)
+    st = bf16_opt.init(params)
+    assert st.mu["w"].dtype == jnp.bfloat16
+    u, st = bf16_opt.update(jax.tree.map(jnp.ones_like, params), st, params)
+    for a, b in zip(jax.tree.leaves(u), jax.tree.leaves(params)):
+        assert a.dtype == b.dtype == jnp.float32
+        assert np.all(np.isfinite(np.asarray(a)))
+
+
 def test_schedules_match_reference_formulas():
     # lr: warmup then half-cosine (ref croco/utils/misc.py:464-479)
     assert tr.lr_at(0, 1e-4, 1e-6, 10, 100) == 0

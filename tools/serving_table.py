@@ -18,16 +18,19 @@ import sys
 
 ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
 
-# (label, bench.py args)
+# (label, bench.py args).  The @224 program is short (~1.5 ms/frame), so a
+# 64-frame scan is tunnel-jitter-dominated: those rows run LONGER scans
+# (192 frames) x 5 reps and publish the median with the min..max spread.
+_224 = ["--height", "224", "--width", "224", "--frames", "192",
+        "--chunk", "32", "--reps", "5"]
 CONFIGS = [
     ("512x384, bf16 (reference protocol)", ["--height", "384", "--width", "512"]),
     ("512x384, bf16_fast", ["--height", "384", "--width", "512", "--bf16_heads"]),
     ("512x384, int8 weight-only", ["--height", "384", "--width", "512",
                                    "--int8", "1"]),
-    ("224x224, bf16", ["--height", "224", "--width", "224"]),
-    ("224x224, bf16_fast", ["--height", "224", "--width", "224", "--bf16_heads"]),
-    ("224x224, bf16, 8 streams", ["--height", "224", "--width", "224",
-                                  "--streams", "8"]),
+    ("224x224, bf16", list(_224)),
+    ("224x224, bf16_fast", _224 + ["--bf16_heads"]),
+    ("224x224, bf16, 8 streams", _224 + ["--streams", "8"]),
 ]
 
 
@@ -55,12 +58,14 @@ def main():
     configs = CONFIGS[3:5] if args.quick else CONFIGS
     recs = [run_config(lbl, a) for lbl, a in configs]
 
-    lines = ["| configuration | FPS | ms/frame | MFU |",
-             "|---|---|---|---|"]
+    lines = ["| configuration | FPS (median) | spread | ms/frame | MFU |",
+             "|---|---|---|---|---|"]
     for r in recs:
         # bench's ms_per_frame is per scan STEP (all streams advance one
         # frame); per processed frame = step time / streams
+        lo, hi = r.get("fps_spread", [r["value"], r["value"]])
         lines.append(f"| {r['label']} | {r['value']:.1f} | "
+                     f"{lo:.1f}..{hi:.1f} (n={r.get('reps', 1)}) | "
                      f"{r['ms_per_frame'] / r['streams']:.2f} | "
                      f"{r['mfu_pct']:.0f}% |")
     md = "\n".join(lines)

@@ -82,19 +82,31 @@ def main():
     prec = BF16_FAST if args.bf16_heads else BF16
     fwd = model_flops_per_frame(cfg, hw, b, prec) * (t - 1)
 
+    # encoder fraction of forward matmul FLOPs (for the encsave variant's
+    # recompute accounting: its backward skips the encoder recompute)
+    p_tok = (hw[0] // cfg.dust3r.patch_size) * (hw[1] // cfg.dust3r.patch_size)
+    e = cfg.dust3r.enc
+
+    def _block(n, d, r=4):
+        return 8 * n * d * d + 4 * n * n * d + 4 * n * d * int(r * d)
+
+    enc_frac = (e.depth * _block(p_tok, e.dim) * b) \
+        / model_flops_per_frame(cfg, hw, b, prec)
+
     # master params live on HOST: train_step donates its params, so each
     # variant needs a fresh device copy — but keeping a device-side master
     # pins an extra ~2.7 GB of fp32 weights for the whole run (enough to
     # OOM the 16 GB chip at B=4 @224)
     params0 = jax.tree.map(np.asarray,
                            sp.init_spann3r(jax.random.PRNGKey(0), cfg))
-    opt = tr.make_optimizer(0.05)
     results = {}
 
     for variant in args.variants.split(","):
         os.environ.pop("SPANN3R_REMAT_POLICY", None)
         os.environ.pop("SPANN3R_REMAT_SCAN", None)
+        os.environ.pop("SPANN3R_NO_REMAT_ENC", None)
         remat = True
+        moment_dtype = None
         recompute_factor = 1.0
         # composable: "pairremat+attn" = scan-level remat with the attn
         # block policy applied inside the recomputed step
@@ -115,6 +127,16 @@ def main():
             elif part == "nomlp":
                 os.environ["SPANN3R_REMAT_POLICY"] = "nomlp"
                 recompute_factor -= 0.65
+            elif part == "encsave":
+                # keep encoder activations resident; backward skips the
+                # encoder recompute (models/spann3r.py forward_train)
+                os.environ["SPANN3R_NO_REMAT_ENC"] = "1"
+                recompute_factor -= enc_frac
+            elif part == "adambf16":
+                # bf16 Adam-moment storage (training.make_optimizer):
+                # halves optimizer-state HBM traffic; no FLOP change
+                import jax.numpy as _jnp
+                moment_dtype = _jnp.bfloat16
             elif part == "none":
                 remat = False
                 recompute_factor -= 1.0
@@ -123,6 +145,7 @@ def main():
         total_flops = fwd * (3.0 + recompute_factor)
 
         try:
+            opt = tr.make_optimizer(0.05, moment_dtype=moment_dtype)
             step = tr.make_train_step(cfg, prec, opt, remat=remat)
             params = jax.tree.map(jnp.asarray, params0)
             opt_state = opt.init(params)
