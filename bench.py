@@ -202,14 +202,20 @@ def main():
     dev = jax.devices()[0]
     peak = PEAK_BF16.get(dev.device_kind, 197e12)
 
+    chunk_times: list = []
+
     def timed_run(per_chunk_sync: bool) -> float:
         nonlocal_carry = init_video_carry(cfg, hw, b, prec)
         t0 = time.perf_counter()
+        t_prev = t0
         outs = []
         for ch in chunks:
             nonlocal_carry, ys = scan(params, nonlocal_carry, ch, valid)
             if per_chunk_sync:
                 sync(ys)
+                t_now = time.perf_counter()
+                chunk_times.append(t_now - t_prev)
+                t_prev = t_now
             outs.append(ys)
         sync(outs[-1])  # waits for the whole carry-chained pipeline
         return time.perf_counter() - t0
@@ -255,6 +261,13 @@ def main():
         "sync": sync_mode,
         "reps": len(elapsed_reps),
         "fps_spread": fps_spread,
+        # long-video soak evidence: with --sync_per_chunk, per-chunk FPS of
+        # the LAST timed rep — shows throughput stays flat once the memory
+        # bank saturates and prune cycles run every chunk (VERDICT r3 item 4;
+        # ref prune loop spann3r/model.py:185-210)
+        **({"chunk_fps": [round(args.chunk * b / dt, 2)
+                          for dt in chunk_times[-len(chunks):]]}
+           if args.sync_per_chunk and chunk_times else {}),
     }))
 
 

@@ -308,6 +308,31 @@ def test_remat_scan_matches_default(rng):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_no_remat_enc_matches_default(rng, monkeypatch):
+    """SPANN3R_NO_REMAT_ENC (keep encoder activations resident; backward
+    skips the encoder recompute) must be numerics-neutral.  On CPU this
+    compiles and matches; on the real chip the remote-compile helper
+    crashes for this program at every batch size tried (B=2 and B=4 @224,
+    so not device OOM) — the measured reject is recorded in PERF.md and
+    tools/train_ablate.py's 'encsave' variant."""
+    cfg = tiny_cfg()
+    params = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
+    frames = jnp.asarray(rng.standard_normal((2, 3, *HW, 3)), jnp.float32) * .3
+
+    def loss(p):
+        out = sp.forward_train(p, frames, cfg, FP32, rng=None, remat=True)
+        return jnp.mean(jnp.square(out["pts3d_1"])) + jnp.mean(out["conf_2"])
+
+    monkeypatch.delenv("SPANN3R_NO_REMAT_ENC", raising=False)
+    l0, g0 = jax.value_and_grad(loss)(params)
+    monkeypatch.setenv("SPANN3R_NO_REMAT_ENC", "1")
+    l1, g1 = jax.value_and_grad(loss)(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("policy", ["dots", "attn", "nomlp"])
 def test_remat_policy_matches_default(rng, policy, monkeypatch):
     """Selective SPANN3R_REMAT_POLICY values (what the backward may reuse

@@ -50,6 +50,12 @@ def main():
     ap.add_argument("--n_scenes", type=int, default=3)
     ap.add_argument("--rel_bound", type=float, default=0.05,
                     help="max allowed relative chamfer regression int8 vs bf16")
+    ap.add_argument("--min_dim", type=int, default=256,
+                    help="quantize_linear_weights min matrix dim. The "
+                         "production default (512) targets ViT-L/B widths; "
+                         "the gate's small config is 384-wide, so the gate "
+                         "lowers it — otherwise NOTHING quantizes and the "
+                         "comparison is vacuous (the gate fails on nq==0)")
     ap.add_argument("--out", type=str, default="tests/data/int8_gate_r4.json")
     args = ap.parse_args()
 
@@ -87,8 +93,10 @@ def main():
     m_bf16 = synth_chamfer(bf16_params, cfg, BF16, ds, args.n_scenes)
     del bf16_params
     int8_params = jax.device_put(quantize_linear_weights(
-        cast_serving_weights(params)))
+        cast_serving_weights(params), min_dim=args.min_dim))
     nq = count_quantized(int8_params)
+    assert nq > 0, (f"no matrices quantized at min_dim={args.min_dim} — "
+                    f"the bf16-vs-int8 comparison would be vacuous")
     m_int8 = synth_chamfer(int8_params, cfg, BF16, ds, args.n_scenes)
 
     rel = (m_int8["chamfer"] - m_bf16["chamfer"]) / max(m_bf16["chamfer"],

@@ -107,6 +107,7 @@ def main():
         os.environ.pop("SPANN3R_NO_REMAT_ENC", None)
         remat = True
         moment_dtype = None
+        chain_opt = False
         recompute_factor = 1.0
         # composable: "pairremat+attn" = scan-level remat with the attn
         # block policy applied inside the recomputed step
@@ -137,6 +138,13 @@ def main():
                 # halves optimizer-state HBM traffic; no FLOP change
                 import jax.numpy as _jnp
                 moment_dtype = _jnp.bfloat16
+            elif part == "chainopt":
+                # the r3 optimizer: an optax.chain of 4 transforms
+                # (clip -> scale_by_adam -> add_decayed_weights), kept
+                # here as the A/B control for the fused single-pass
+                # make_optimizer — same math, extra materialized
+                # intermediate pytrees between stages
+                chain_opt = True
             elif part == "none":
                 remat = False
                 recompute_factor -= 1.0
@@ -145,7 +153,14 @@ def main():
         total_flops = fwd * (3.0 + recompute_factor)
 
         try:
-            opt = tr.make_optimizer(0.05, moment_dtype=moment_dtype)
+            if chain_opt:
+                import optax
+                opt = optax.chain(
+                    optax.clip_by_global_norm(1.0),
+                    optax.scale_by_adam(b1=0.9, b2=0.95),
+                    optax.add_decayed_weights(0.05, mask=tr.decay_mask))
+            else:
+                opt = tr.make_optimizer(0.05, moment_dtype=moment_dtype)
             step = tr.make_train_step(cfg, prec, opt, remat=remat)
             params = jax.tree.map(jnp.asarray, params0)
             opt_state = opt.init(params)
