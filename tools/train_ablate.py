@@ -49,7 +49,12 @@ def main():
                     help="BF16_FAST precision (bf16 DPT heads): opt-in "
                          "deviation from the reference fp32-heads policy")
     ap.add_argument("--profile", type=str, default=None,
-                    help="profile the 'default' variant's steps to this dir")
+                    help="profile the first listed variant's steps to this dir")
+    ap.add_argument("--pipelined", type=int, default=0,
+                    help="additionally run N steps enqueued back-to-back "
+                         "with no per-step sync (production-loop protocol) "
+                         "under the profiler; inter-step device gaps in the "
+                         "trace are the pipelining evidence")
     args = ap.parse_args()
 
     import jax
@@ -172,7 +177,9 @@ def main():
             sync(m["loss"])
             compile_s = time.perf_counter() - t0
             ts = []
-            prof = args.profile if (args.profile and variant == "default") else None
+            # profile the first listed variant (historically 'default')
+            prof = args.profile if (
+                args.profile and variant == args.variants.split(",")[0]) else None
             if prof:
                 jax.profiler.start_trace(prof)
             for _ in range(args.reps):
@@ -184,6 +191,29 @@ def main():
                 ts.append(time.perf_counter() - t0)
             if prof:
                 jax.profiler.stop_trace()
+            pipe = {}
+            if args.pipelined:
+                # production-loop protocol: enqueue all steps back-to-back
+                # with NO per-step host sync (the real train loop only
+                # syncs for periodic metric logging), one sync at the end.
+                # Wall time here is untrustworthy through the tunnel
+                # (CLAUDE.md chained-dispatch anomaly) — the EVIDENCE is
+                # the profiler device timeline (inter-step gaps), so this
+                # mode requires --profile; gaps are analyzed offline.
+                pdir = (args.profile or "/tmp/ablate_pipe") + "_pipelined"
+                jax.profiler.start_trace(pdir)
+                t0 = time.perf_counter()
+                for _ in range(args.pipelined):
+                    params, opt_state, m = step(params, opt_state, batch,
+                                                key, jnp.float32(1e-5),
+                                                jnp.float32(0.4))
+                sync(m["loss"])
+                wall = time.perf_counter() - t0
+                jax.profiler.stop_trace()
+                pipe = {"pipelined_steps": args.pipelined,
+                        "pipelined_wall_ms_per_step":
+                            round(wall / args.pipelined * 1e3, 1),
+                        "pipelined_trace": pdir}
             med = float(np.median(ts))
             results[variant] = {
                 "ms_per_step": round(med * 1e3, 1),
@@ -191,6 +221,7 @@ def main():
                 "mfu_pct": round(total_flops / med / peak * 100, 1),
                 "compile_s": round(compile_s, 0),
                 "spread_ms": [round(min(ts) * 1e3, 1), round(max(ts) * 1e3, 1)],
+                **pipe,
             }
             print(variant, results[variant], flush=True)
             del params, opt_state, step
