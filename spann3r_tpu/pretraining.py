@@ -117,25 +117,40 @@ def make_pretrain_step(cfg: DUSt3RConfig, mask_ratio: float, prec: Precision,
                                               mask_ratio, prec)
         return cp.masked_mse(pred, mask, target, norm_pix_loss=norm_pix_loss)
 
+    def gated_update(grads, opt_state, params, lr):
+        """opt.update with an on-device non-finite gate: if the global grad
+        norm is inf/nan the update is zeroed and the optimizer state kept
+        unchanged, so a bad step can never poison params/moments even though
+        the host checks the loss one step late (the reference instead syncs
+        + sys.exits every iteration, ref pretrain.py:220-222; see
+        training.make_optimizer for the measured cost of that sync)."""
+        finite = jnp.isfinite(optax.global_norm(grads))
+        updates, new_state = opt.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: jnp.where(finite, u, 0.0), updates)
+        new_state = jax.tree.map(lambda n, o: jnp.where(finite, n, o),
+                                 new_state, opt_state)
+        return scaled(updates, lr), new_state
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, img1, img2, rng, lr):
         loss, grads = jax.value_and_grad(loss_fn)(params, img1, img2, rng)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        updates = scaled(updates, lr)
+        updates, opt_state = gated_update(grads, opt_state, params, lr)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def grad_step(params, grad_acc, img1, img2, rng, inv_accum):
         loss, grads = jax.value_and_grad(loss_fn)(params, img1, img2, rng)
-        grad_acc = jax.tree.map(lambda a, g: a + g * inv_accum,
-                                grad_acc, grads)
+        # non-finite micro-batches contribute nothing (see gated_update)
+        ok = jnp.isfinite(optax.global_norm(grads))
+        grad_acc = jax.tree.map(
+            lambda a, g: a + jnp.where(ok, g, 0.0) * inv_accum,
+            grad_acc, grads)
         return grad_acc, loss
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def apply_step(params, opt_state, grad_acc, lr):
-        updates, opt_state = opt.update(grad_acc, opt_state, params)
-        updates = scaled(updates, lr)
+        updates, opt_state = gated_update(grad_acc, opt_state, params, lr)
         params = optax.apply_updates(params, updates)
         return params, opt_state, jax.tree.map(jnp.zeros_like, grad_acc)
 
@@ -243,6 +258,22 @@ def main(args) -> Dict[str, float]:
     for epoch in range(start_epoch, args.max_epoch):
         loader.set_epoch(epoch)
         losses = []
+
+        # lagged finiteness check (see training.train): the update is gated
+        # on device (make_pretrain_step.gated_update), so the host fetches
+        # step N-1's loss after enqueueing step N instead of blocking on
+        # every step like the reference (ref pretrain.py:220-222)
+        pending = None
+
+        def check_pending(p):
+            it_prev, dev_loss = p
+            loss_f = float(dev_loss)
+            if not math.isfinite(loss_f):
+                print(f"Loss is {loss_f} at it {it_prev} (update suppressed "
+                      f"on device), stopping training")
+                sys.exit(1)
+            return loss_f
+
         for it, (img1, img2) in enumerate(loader):
             epoch_f = epoch + it / steps_per_epoch
             lr = lr_at(epoch_f, args.lr, args.min_lr, args.warmup_epochs,
@@ -260,18 +291,21 @@ def main(args) -> Dict[str, float]:
             else:
                 params, opt_state, loss = step(params, opt_state, img1, img2,
                                                step_rng, jnp.float32(lr))
-            loss_f = float(loss)
-            if not math.isfinite(loss_f):  # ref pretrain.py:220-222
-                print(f"Loss is {loss_f}, stopping training")
-                sys.exit(1)
-            losses.append(loss_f)
+            if pending is not None:
+                losses.append(check_pending(pending))
+            pending = (it, loss)
             if it % args.print_freq == 0:
+                loss_f = float(loss)  # periodic sync only
                 print(f"E{epoch} it{it}/{steps_per_epoch} "
                       f"loss={loss_f:.4f} lr={lr:.2e}")
                 if writer is not None:
                     step1000 = int(epoch_f * 1000)
                     writer.add_scalar("train_loss", loss_f, step1000)
                     writer.add_scalar("lr", lr, step1000)
+
+        # flush the last step's lagged check before epoch wrap-up
+        if pending is not None:
+            losses.append(check_pending(pending))
 
         if rank == 0 and args.save_freq and epoch % args.save_freq == 0:
             ckpt.save("last", params, opt_state, epoch, float("inf"))

@@ -195,7 +195,18 @@ def make_optimizer(weight_decay: float,
     moment_dtype=jnp.bfloat16 (opt-in, SPANN3R_ADAM_BF16=1 in train())
     stores Adam mu/nu in bf16 — compute stays fp32 — halving moment traffic
     and residency.  A documented deviation: the reference's torch.AdamW
-    keeps fp32 state (croco/utils/misc.py uses the default AdamW)."""
+    keeps fp32 state (croco/utils/misc.py uses the default AdamW).
+
+    Non-finite safety gate: when the global grad norm is inf/nan the whole
+    update is suppressed ON DEVICE — params, moments and the bias-correction
+    count are left exactly as they were (the step never happened).  The
+    reference gets the equivalent guarantee by syncing the loss to the host
+    EVERY iteration and sys.exit-ing before the next optimizer step
+    (spann3r/training.py:222-224) — a per-step device->host sync that
+    serializes dispatch (measured ~38 ms/step here, PERF.md "pipelined").
+    With the on-device gate the host can check finiteness one step late,
+    keeping the dispatch queue full, and a poisoned update still can never
+    reach the weights.  Costs one fused select per leaf (bandwidth-free)."""
     b1, b2, eps, max_norm = 0.9, 0.95, 1e-8, 1.0
 
     def init_fn(params):
@@ -207,9 +218,10 @@ def make_optimizer(weight_decay: float,
 
     def update_fn(grads, state, params):
         gnorm = optax.global_norm(grads)
+        finite = jnp.isfinite(gnorm)
         # optax.clip_by_global_norm semantics: scale only when gnorm >= max
         scale = jnp.where(gnorm < max_norm, 1.0, max_norm / gnorm)
-        count = state.count + 1
+        count = state.count + finite.astype(state.count.dtype)
         bc1 = 1.0 - b1 ** count.astype(jnp.float32)
         bc2 = 1.0 - b2 ** count.astype(jnp.float32)
         mask = decay_mask(params)
@@ -217,11 +229,16 @@ def make_optimizer(weight_decay: float,
         def leaf(g, m, v, p, decayed):
             g = g * scale
             gf = g.astype(jnp.float32)
-            m2 = b1 * m.astype(jnp.float32) + (1.0 - b1) * gf
-            v2 = b2 * v.astype(jnp.float32) + (1.0 - b2) * jnp.square(gf)
+            mf, vf = m.astype(jnp.float32), v.astype(jnp.float32)
+            m2 = b1 * mf + (1.0 - b1) * gf
+            v2 = b2 * vf + (1.0 - b2) * jnp.square(gf)
             u = (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
             if decayed:
                 u = u + weight_decay * p.astype(jnp.float32)
+            # non-finite gate: zero update, moments unchanged (see docstring)
+            u = jnp.where(finite, u, 0.0)
+            m2 = jnp.where(finite, m2, mf)
+            v2 = jnp.where(finite, v2, vf)
             return (u.astype(g.dtype), m2.astype(m.dtype), v2.astype(v.dtype))
 
         out = jax.tree.map(leaf, grads, state.mu, state.nu, params, mask)
@@ -298,8 +315,12 @@ def make_accum_train_step(cfg: Spann3RConfig, prec: Precision, opt,
     def grad_step(params, grad_acc, batch, rng, alpha):
         (loss, details), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, rng, alpha)
-        grad_acc = jax.tree.map(lambda a, g: a + g / accum_iter,
-                                grad_acc, grads)
+        # non-finite micro-batches contribute nothing to the accumulator
+        # (same on-device no-poison guarantee as make_optimizer's gate)
+        ok = jnp.isfinite(optax.global_norm(grads))
+        grad_acc = jax.tree.map(
+            lambda a, g: a + jnp.where(ok, g, 0.0) / accum_iter,
+            grad_acc, grads)
         return grad_acc, dict(details, loss=loss)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -549,6 +570,27 @@ def train(args, model_cfg: Optional[Spann3RConfig] = None) -> Dict[str, Any]:
         logger = MetricLogger()
         if args.profile_dir and epoch == start_epoch:
             jax.profiler.start_trace(args.profile_dir)
+
+        # Lagged finiteness check: the reference fetches the loss to the host
+        # EVERY iteration and aborts immediately (ref training.py:222-224).
+        # A per-step fetch blocks until the step completes, so the dispatch
+        # queue drains and the device idles one host round-trip per step
+        # (~38 ms here — PERF.md "pipelined", measured).  Instead the
+        # optimizer suppresses non-finite updates ON DEVICE (make_optimizer),
+        # and the host checks the PREVIOUS step's loss after enqueueing the
+        # current one: params can never be poisoned, the abort fires at most
+        # one iteration late, and steps dispatch back-to-back.
+        pending = None  # (iteration, device loss scalar) of the prior step
+
+        def check_pending(p):
+            it_prev, dev_loss = p
+            loss_f = float(dev_loss)
+            if not math.isfinite(loss_f):
+                raise RuntimeError(
+                    f"non-finite loss {loss_f} at epoch {epoch} it {it_prev} "
+                    f"(update suppressed on device; detected one step late)")
+            return loss_f
+
         for it, batch in enumerate(loader):
             epoch_f = epoch + it / steps_per_epoch
             lr = lr_at(epoch_f, args.lr, args.min_lr, args.warmup_epochs,
@@ -568,13 +610,10 @@ def train(args, model_cfg: Optional[Spann3RConfig] = None) -> Dict[str, Any]:
                     params, opt_state, sharded, step_rng,
                     jnp.float32(lr), jnp.float32(alpha))
 
-            # finiteness check EVERY step (ref training.py:222-224 aborts on
-            # the very iteration the loss goes non-finite, before the next
-            # optimizer update can poison params further)
-            loss_f = last_loss = float(metrics["loss"])
-            if not math.isfinite(loss_f):
-                raise RuntimeError(
-                    f"non-finite loss {loss_f} at epoch {epoch_f:.3f} it {it}")
+            # check step N-1's loss AFTER enqueueing step N (see above)
+            if pending is not None:
+                last_loss = check_pending(pending)
+            pending = (it, metrics["loss"])
 
             if it % args.print_freq == 0:
                 m = {k: float(v) for k, v in metrics.items()}
@@ -588,6 +627,10 @@ def train(args, model_cfg: Optional[Spann3RConfig] = None) -> Dict[str, Any]:
                     writer.add_scalar("train_loss", m["loss"], step1000)
                     writer.add_scalar("train_lr", lr, step1000)
                     writer.add_scalar("active_ratio", active_ratio, step1000)
+
+        # flush the last step's lagged finiteness check before epoch wrap-up
+        if pending is not None:
+            last_loss = check_pending(pending)
 
         # cross-host metric sync + epoch summary (ref misc.py:119-121,
         # training.py:257-259 "Averaged stats")

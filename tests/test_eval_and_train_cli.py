@@ -133,3 +133,51 @@ def test_training_driver_one_epoch(seven_scenes_root, tmp_path, monkeypatch):
 
     # auto-resume: second invocation restores and finishes instantly
     tr.train(args)
+
+
+def test_train_loop_lagged_abort(seven_scenes_root, tmp_path, monkeypatch):
+    """The training loop's finiteness abort is LAGGED by one step (the host
+    checks step N-1's loss after enqueueing step N, so dispatch stays
+    pipelined — PERF.md; the on-device optimizer gate guarantees the bad
+    update never reached the weights).  A nan loss must still raise."""
+    import jax.numpy as jnp
+
+    from spann3r_tpu import training as tr
+
+    parser = tr.get_args_parser()
+    args = parser.parse_args([])
+    args.resolution = 32
+    args.head_type = "linear"
+    args.num_frames = 3
+    args.batch_size = 2
+    args.epochs = 1
+    args.warmup_epochs = 0
+    args.eval_freq = 0   # no eval epochs
+    args.save_freq = 0
+    args.keep_freq = 0
+    args.print_freq = 100  # no periodic metric sync either
+    args.num_workers = 0
+    args.bf16 = 0
+    args.output_dir = str(tmp_path / "run")
+    args.train_dataset = (
+        f"4 @ SevenScenes(split='test', ROOT='{seven_scenes_root}', "
+        f"resolution=32, num_frames=3, min_thresh=1, max_thresh=2)")
+    args.test_dataset = (
+        f"SevenScenes(split='test', ROOT='{seven_scenes_root}', "
+        f"resolution=32, full_video=True, kf_every=3, seed=777)")
+    monkeypatch.setattr(tr, "Spann3RConfig", lambda **kw: tiny_cfg())
+
+    calls = {"n": 0}
+
+    def fake_accum(cfg, prec, opt, accum_iter, **kw):
+        def step(params, opt_state, batch, rng, lr, alpha):
+            calls["n"] += 1
+            loss = jnp.float32(np.nan if calls["n"] >= 2 else 1.0)
+            return params, opt_state, {"loss": loss,
+                                       "grad_norm": jnp.float32(0.0)}
+        return step, None, None
+
+    monkeypatch.setattr(tr, "make_accum_train_step", fake_accum)
+    with pytest.raises(RuntimeError, match="non-finite"):
+        tr.train(args)
+    assert calls["n"] >= 2

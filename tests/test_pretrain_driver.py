@@ -175,3 +175,56 @@ def test_pretrain_driver_end_to_end(habitat_root, tmp_path):
     args.max_epoch = 3
     out3 = main(args)
     assert np.isfinite(out3["train_loss"])
+
+
+def test_pretrain_step_nonfinite_gate():
+    """A non-finite batch must be an on-device no-op: params and optimizer
+    state unchanged (gated_update in make_pretrain_step).  The host's
+    finiteness abort runs one step late (lagged check in main()), so
+    without this gate a nan step could reach the weights first (the
+    reference instead syncs + exits every iter, ref croco/pretrain.py:220-222)."""
+    import jax
+    import jax.numpy as jnp
+
+    from spann3r_tpu.models import croco_pretrain as cp
+    from spann3r_tpu.pretraining import (make_pretrain_optimizer,
+                                         make_pretrain_step)
+    from spann3r_tpu.config import FP32
+
+    cfg, ratio = parse_croco_model(
+        "CroCoNet(enc_embed_dim=64, enc_depth=2, enc_num_heads=4, "
+        "dec_embed_dim=48, dec_depth=2, dec_num_heads=4, img_size=32)")
+    params = cp.init_croco(jax.random.PRNGKey(0), cfg)
+    opt = make_pretrain_optimizer(0.05)
+    opt_state = opt.init(params)
+    step, grad_step, apply_step = make_pretrain_step(cfg, ratio, FP32, opt)
+
+    rng = np.random.default_rng(0)
+    good = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32) * .3
+    bad = good.at[0, 0, 0, 0].set(jnp.nan)
+
+    params, opt_state, loss = step(params, opt_state, good, good,
+                                   jax.random.PRNGKey(1), jnp.float32(1e-4))
+    assert np.isfinite(float(loss))
+    import numpy as _np
+    snap = jax.tree.map(_np.asarray, (params, opt_state))
+
+    params, opt_state, loss = step(params, opt_state, bad, good,
+                                   jax.random.PRNGKey(2), jnp.float32(1e-4))
+    assert not np.isfinite(float(loss))  # host still observes the bad loss
+    for a, b in zip(jax.tree.leaves(snap),
+                    jax.tree.leaves(jax.tree.map(_np.asarray,
+                                                 (params, opt_state)))):
+        np.testing.assert_array_equal(a, b)
+
+    # accumulation path: nan micro-batch adds nothing
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    acc, l1 = grad_step(params, zeros, good, good, jax.random.PRNGKey(3),
+                        jnp.float32(0.5))
+    snap_acc = jax.tree.map(_np.asarray, acc)
+    acc, l2 = grad_step(params, acc, bad, good, jax.random.PRNGKey(4),
+                        jnp.float32(0.5))
+    assert not np.isfinite(float(l2))
+    for a, b in zip(jax.tree.leaves(snap_acc),
+                    jax.tree.leaves(jax.tree.map(_np.asarray, acc))):
+        np.testing.assert_array_equal(a, b)

@@ -117,3 +117,53 @@ def test_focal_weiszfeld(rng):
     pp = jnp.asarray([[w / 2.0, h / 2.0]])
     est = float(estimate_focal_weiszfeld(jnp.asarray(pts), pp)[0])
     assert abs(est - f) / f < 0.02
+
+
+def test_trace_summary_cli(tmp_path, capsys):
+    """tools/trace_summary.py parses a raw Chrome-trace export and reports
+    per-op totals + a program timeline with inter-execution gaps (the
+    pipelining-evidence protocol, PERF.md r4)."""
+    import gzip
+    import json
+    import os.path as osp
+    import sys
+
+    repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    d = tmp_path / "plugins" / "profile" / "2026_01_01"
+    d.mkdir(parents=True)
+    events = [
+        {"ph": "M", "pid": 1, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 9, "name": "process_name",
+         "args": {"name": "host threads"}},
+        # two program executions, 10ms each, 2ms gap, on the device pid
+        {"ph": "X", "pid": 1, "tid": 1, "ts": 0, "dur": 10_000,
+         "name": "jit_train_step(123)"},
+        {"ph": "X", "pid": 1, "tid": 1, "ts": 12_000, "dur": 10_000,
+         "name": "jit_train_step(123)"},
+        {"ph": "X", "pid": 1, "tid": 2, "ts": 0, "dur": 4_000,
+         "name": "fusion.1"},
+        # host event must be excluded
+        {"ph": "X", "pid": 9, "tid": 1, "ts": 0, "dur": 99_000,
+         "name": "host_thing"},
+    ]
+    with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+
+    sys.path.insert(0, osp.join(repo, "tools"))
+    try:
+        import trace_summary
+    finally:
+        sys.path.pop(0)
+    old = sys.argv
+    sys.argv = ["trace_summary", str(tmp_path), "--top", "5",
+                "--program", "jit_train_step"]
+    try:
+        trace_summary.main()
+    finally:
+        sys.argv = old
+    out = capsys.readouterr().out
+    assert "jit_train_step" in out and "fusion.1" in out
+    assert "host_thing" not in out
+    assert "gap_before=    2.00" in out
+    assert "dur median 10.00 ms" in out

@@ -355,3 +355,105 @@ def test_remat_policy_matches_default(rng, policy, monkeypatch):
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_optimizer_nonfinite_gate(rng):
+    """A non-finite gradient step must be a no-op ON DEVICE: params update
+    zero, Adam moments and the bias-correction count unchanged.  train()'s
+    lagged host abort relies on this no-poison guarantee (the reference
+    instead syncs the loss to the host and sys.exits every iteration,
+    ref spann3r/training.py:222-224)."""
+    import optax
+    opt = tr.make_optimizer(0.05)
+    params = {"w": jnp.asarray(rng.standard_normal((8, 16)), jnp.float32),
+              "b": jnp.asarray(rng.standard_normal((16,)), jnp.float32)}
+    state = opt.init(params)
+
+    # one finite step to make the moments non-trivial
+    g = jax.tree.map(lambda p: jnp.ones_like(p) * 0.1, params)
+    u, state = opt.update(g, state, params)
+    params = optax.apply_updates(params, jax.tree.map(lambda x: -1e-3 * x, u))
+    snap = jax.tree.map(np.asarray, (params, state.mu, state.nu))
+    count0 = int(state.count)
+
+    for bad in (jnp.nan, jnp.inf, -jnp.inf):
+        gbad = {"w": jnp.full((8, 16), bad, jnp.float32),
+                "b": jnp.ones((16,), jnp.float32)}  # one finite leaf too
+        u, state = opt.update(gbad, state, params)
+        params = optax.apply_updates(params,
+                                     jax.tree.map(lambda x: -1e-3 * x, u))
+        for a, b in zip(jax.tree.leaves(snap),
+                        jax.tree.leaves(jax.tree.map(
+                            np.asarray, (params, state.mu, state.nu)))):
+            np.testing.assert_array_equal(a, b)
+        assert int(state.count) == count0  # step never happened
+
+    # and a following finite step still works
+    u, state = opt.update(g, state, params)
+    assert int(state.count) == count0 + 1
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(u))
+    assert float(jnp.abs(u["w"]).max()) > 0
+
+
+def test_train_step_nonfinite_batch_no_poison(rng):
+    """End-to-end through the real jitted train step: a batch that produces
+    non-finite gradients leaves params bit-identical; training then recovers
+    on the next good batch."""
+    cfg = tiny_cfg()
+    params = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
+    opt = tr.make_optimizer(0.05)
+    opt_state = opt.init(params)
+    step = tr.make_train_step(cfg, FP32, opt, remat=True)
+    mesh = pmesh.make_mesh(model=1)
+
+    good = pmesh.shard_batch(mesh, synth_batch(rng))
+    bad_np = synth_batch(rng)
+    bad_np["pts3d"][0, 0, 0, 0, 0] = np.inf  # poisons loss + grads
+    bad = pmesh.shard_batch(mesh, bad_np)
+
+    params, opt_state, _ = step(params, opt_state, good,
+                                jax.random.PRNGKey(0),
+                                jnp.float32(1e-4), jnp.float32(0.4))
+    snap = jax.tree.map(np.asarray, params)
+
+    params, opt_state, metrics = step(params, opt_state, bad,
+                                      jax.random.PRNGKey(1),
+                                      jnp.float32(1e-4), jnp.float32(0.4))
+    assert not math.isfinite(float(metrics["loss"]))  # host still sees it
+    for a, b in zip(jax.tree.leaves(snap),
+                    jax.tree.leaves(jax.tree.map(np.asarray, params))):
+        np.testing.assert_array_equal(a, b)
+
+    params, opt_state, metrics = step(params, opt_state, good,
+                                      jax.random.PRNGKey(2),
+                                      jnp.float32(1e-4), jnp.float32(0.4))
+    assert math.isfinite(float(metrics["loss"]))
+    assert float(jnp.abs(params["attn_head_1"]["fc1"]["w"]
+                         - snap["attn_head_1"]["fc1"]["w"]).max()) > 0
+
+
+def test_accum_grad_step_skips_nonfinite_microbatch(rng):
+    """With gradient accumulation, a non-finite micro-batch contributes
+    nothing to the accumulator (instead of poisoning the whole accumulation
+    window)."""
+    cfg = tiny_cfg()
+    params = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
+    opt = tr.make_optimizer(0.05)
+    _, grad_step, _ = tr.make_accum_train_step(cfg, FP32, opt, accum_iter=2)
+    mesh = pmesh.make_mesh(model=1)
+
+    good = pmesh.shard_batch(mesh, synth_batch(rng))
+    bad_np = synth_batch(rng)
+    bad_np["pts3d"][:] = np.nan
+    bad = pmesh.shard_batch(mesh, bad_np)
+
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    acc, _ = grad_step(params, zeros, good, jax.random.PRNGKey(0),
+                       jnp.float32(0.4))
+    snap = jax.tree.map(np.asarray, acc)
+    acc, metrics = grad_step(params, acc, bad, jax.random.PRNGKey(1),
+                             jnp.float32(0.4))
+    assert not math.isfinite(float(metrics["loss"]))
+    for a, b in zip(jax.tree.leaves(snap),
+                    jax.tree.leaves(jax.tree.map(np.asarray, acc))):
+        np.testing.assert_array_equal(a, b)
