@@ -110,7 +110,10 @@ def main():
                     help="use jax's tuned TPU flash-attention kernel "
                          "(N % 128 == 0 shapes only)")
     ap.add_argument("--int8", type=int, default=0,
-                    help="int8 weight-only serving (ops/quant.py)")
+                    help="1 = int8 weight-only serving (ops/quant.py); "
+                         "2 = also int8 MXU compute for big batched "
+                         "matmuls (dynamic per-row activation quant, "
+                         "ops/layers.py linear)")
     ap.add_argument("--offline", action="store_true",
                     help="benchmark OFFLINE reconstruction (pairwise conf + "
                          "greedy next-best-view, ref demo.py --offline) "
@@ -154,6 +157,9 @@ def main():
         params = quantize_linear_weights(params)
         print(f"int8 weight-only serving: {count_quantized(params)} "
               f"matrices quantized")
+        if args.int8 >= 2:
+            os.environ["SPANN3R_INT8_ACT"] = "1"
+            print("int8 activation compute enabled for batched matmuls")
 
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 256, (args.frames, b, *hw, 3)).astype(np.uint8)
@@ -256,7 +262,8 @@ def main():
         "ms_per_frame": round(ms_per_frame, 3),
         "mfu_pct": round(mfu * 100, 2),
         "streams": b,
-        "precision": ("int8" if args.int8 else
+        "precision": ("int8_act" if args.int8 >= 2 else
+                      "int8" if args.int8 else
                       "bf16_fast" if args.bf16_heads else "bf16"),
         "sync": sync_mode,
         "reps": len(elapsed_reps),

@@ -29,8 +29,11 @@ def get_args_parser():
     p.add_argument("--save_ori", action="store_true")
     p.add_argument("--dynamic", action="store_true")
     p.add_argument("--fp32", action="store_true")
-    p.add_argument("--int8", action="store_true",
-                   help="int8 weight-only serving (ops/quant.py)")
+    p.add_argument("--int8", type=int, nargs="?", const=1, default=0,
+                   help="1 (or bare --int8) = int8 weight-only serving "
+                        "(ops/quant.py); 2 = also int8 MXU compute for the "
+                        "batched encoder (dynamic activation quant, "
+                        "ops/layers.py linear)")
     return p
 
 
@@ -63,6 +66,9 @@ def load_model(args):
             lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, params)
         params = quantize_linear_weights(params)
         print(f"int8 weight-only serving: {count_quantized(params)} matrices")
+        if int(getattr(args, "int8", 0)) >= 2:
+            os.environ["SPANN3R_INT8_ACT"] = "1"
+            print("int8 activation compute enabled for batched matmuls")
     return params, cfg, prec
 
 

@@ -26,8 +26,41 @@ def dot(x: jax.Array, w: jax.Array) -> jax.Array:
     ).astype(x.dtype)
 
 
+def _int8_act_min_rows() -> int:
+    """0 disables the int8 activation path (default); read at trace time
+    like the remat-policy env vars."""
+    import os
+    n = int(os.environ.get("SPANN3R_INT8_ACT", "0"))
+    return 1024 if n == 1 else n  # SPANN3R_INT8_ACT=<n> sets a custom floor
+
+
 def linear(p, x: jax.Array) -> jax.Array:
     if "w_q" in p:
+        rows = int(np.prod(x.shape[:-1]))  # static under jit
+        min_rows = _int8_act_min_rows()
+        if min_rows and rows >= min_rows:
+            # int8 x int8 -> int32 on the MXU (~1.4x bf16 throughput on
+            # v5e at large shapes, PERF.md): dynamic per-row symmetric
+            # activation quantization against the per-output-channel
+            # weight scales from ops/quant.py.  Only taken for big
+            # batched matmuls (rows >= min_rows): at B=1 decode shapes
+            # the step is weight-load-bound (int8 weights already cover
+            # it) and the VPU quantize work would dominate.  Serving
+            # only — the int8 dot has no gradient.
+            xf = x.astype(jnp.float32)
+            xs = jnp.maximum(
+                jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-12)
+            xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+            o = jax.lax.dot_general(
+                xq, p["w_q"],
+                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = (o.astype(jnp.float32) * xs
+                 * p["w_scale"].astype(jnp.float32)).astype(x.dtype)
+            if p.get("b") is not None:
+                y = y + p["b"].astype(x.dtype)
+            return y
         # int8 weight-only serving (ops/quant.py): dequant fuses into the
         # matmul's operand load; weight HBM traffic halves vs bf16
         w = p["w_q"].astype(x.dtype) * p["w_scale"].astype(x.dtype)

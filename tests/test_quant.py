@@ -184,3 +184,82 @@ def test_cast_serving_weights_bitwise_exact_under_bf16(rng):
     np.testing.assert_array_equal(pts_a, pts_b)
     np.testing.assert_array_equal(conf_a, conf_b)
     np.testing.assert_array_equal(em_a, em_b)
+
+
+def test_int8_activation_path(rng, monkeypatch):
+    """SPANN3R_INT8_ACT: dynamic per-row activation quantization feeding an
+    int8 x int8 -> int32 MXU dot (ops/layers.py linear).  Checks (a) the
+    path only engages above the static row-count floor (B=1 decode shapes
+    keep the weight-only path), (b) accuracy stays within the combined
+    weight+activation int8 bound, (c) bf16 inputs round-trip."""
+    w = jnp.asarray(rng.standard_normal((768, 1024)).astype(np.float32)) * .02
+    b = jnp.asarray(rng.standard_normal((1024,)).astype(np.float32)) * .01
+    p = quantize_linear_weights({"lin": {"w": w, "b": b}})["lin"]
+    big = jnp.asarray(rng.standard_normal((2048, 768)).astype(np.float32))
+    small = big[:4]
+
+    ref_big = big @ w + b
+    ref_small = small @ w + b
+
+    monkeypatch.setenv("SPANN3R_INT8_ACT", "1")
+    y_big = layers.linear(p, big)
+    y_small = layers.linear(p, small)
+    monkeypatch.delenv("SPANN3R_INT8_ACT")
+    y_off = layers.linear(p, big)
+
+    # (a) below the 1024-row floor the weight-only dequant path is used:
+    # identical to the flag-off path on the same rows
+    np.testing.assert_array_equal(np.asarray(y_small),
+                                  np.asarray(layers.linear(p, small)))
+    # (b) int8 activations add ~1/254-of-row-max error per element over a
+    # 768-long contraction: ~1-2% output RMS, same order as weight-only
+    rel = (np.linalg.norm(np.asarray(y_big - ref_big))
+           / np.linalg.norm(np.asarray(ref_big)))
+    assert rel < 0.03, rel
+    rel_off = (np.linalg.norm(np.asarray(y_off - ref_big))
+               / np.linalg.norm(np.asarray(ref_big)))
+    assert rel_off < 0.02  # weight-only stays tighter
+
+    # (c) bf16 activations take the same path and stay bf16
+    monkeypatch.setenv("SPANN3R_INT8_ACT", "1")
+    y_bf = layers.linear(p, big.astype(jnp.bfloat16))
+    assert y_bf.dtype == jnp.bfloat16
+    rel_bf = (np.linalg.norm(np.asarray(y_bf, np.float32) - np.asarray(ref_big))
+              / np.linalg.norm(np.asarray(ref_big)))
+    assert rel_bf < 0.04, rel_bf
+
+    # custom floor: SPANN3R_INT8_ACT=<n>
+    monkeypatch.setenv("SPANN3R_INT8_ACT", "2")
+    assert layers._int8_act_min_rows() == 2
+
+
+def test_pair_step_outputs_close_int8_act(rng, monkeypatch):
+    """Tiny full model with int8 ACTIVATION compute on top of int8 weights
+    (SPANN3R_INT8_ACT low floor so the small shapes engage): forward stays
+    close to full precision."""
+    from spann3r_tpu.config import DUSt3RConfig, Spann3RConfig, ViTConfig, BF16
+    from spann3r_tpu.models import dust3r as d3
+    from spann3r_tpu.models import spann3r as sp
+
+    hw = (32, 32)
+    cfg = Spann3RConfig(
+        dust3r=DUSt3RConfig(img_size=hw, patch_size=16,
+                            enc=ViTConfig(dim=512, depth=2, num_heads=4),
+                            dec=ViTConfig(dim=512, depth=2, num_heads=4),
+                            head_type="linear"),
+        value_enc_depth=2, value_enc_dim=512, value_enc_heads=4,
+        attn_head_in=512 + 512, attn_head_out=512)
+    params = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
+    img = jnp.asarray(rng.standard_normal((2, *hw, 3)).astype(np.float32)) * 0.3
+
+    def fwd(p):
+        feats, pos = d3.encode_image(p["dust3r"], img, cfg.dust3r, BF16)
+        f1, f2 = feats[:1], feats[1:]
+        out = sp.pair_step(p, cfg, f1, f1, f2, pos[:1], hw, BF16)
+        return out.res1["pts3d"]
+
+    ref = np.asarray(fwd(params))
+    qparams = quantize_linear_weights(params, min_dim=256)
+    monkeypatch.setenv("SPANN3R_INT8_ACT", "2")  # engage at tiny shapes
+    got = np.asarray(fwd(qparams))
+    assert np.median(np.abs(got - ref)) < 0.06 * (np.median(np.abs(ref)) + 1)

@@ -56,8 +56,18 @@ def main():
                          "the gate's small config is 384-wide, so the gate "
                          "lowers it — otherwise NOTHING quantizes and the "
                          "comparison is vacuous (the gate fails on nq==0)")
+    ap.add_argument("--act", type=int, default=0,
+                    help="also enable int8 ACTIVATION compute for the int8 "
+                         "arm (ops/layers.py linear int8 MXU path); value = "
+                         "min-rows floor passed as SPANN3R_INT8_ACT. The "
+                         "production floor (1024) targets 512-res encoder "
+                         "batches; the gate's small config batches fewer "
+                         "rows, so pass e.g. --act 256")
     ap.add_argument("--out", type=str, default="tests/data/int8_gate_r4.json")
     args = ap.parse_args()
+
+    if args.act:
+        os.environ["SPANN3R_INT8_ACT"] = str(args.act)
 
     import jax
 
@@ -103,7 +113,7 @@ def main():
                                                         1e-9)
     artifact = {
         "ckpt": source, "resolution": res, "n_scenes": args.n_scenes,
-        "quantized_matrices": nq,
+        "quantized_matrices": nq, "int8_act_min_rows": args.act,
         "bf16": m_bf16, "int8": m_int8,
         "chamfer_rel_delta": rel, "rel_bound": args.rel_bound,
         "pass": bool(rel <= args.rel_bound),
