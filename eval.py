@@ -24,6 +24,10 @@ def get_args_parser():
     # valid_mask only, never by confidence)
     p.add_argument("--conf_thresh", type=float, default=0.0)
     p.add_argument("--fp32", action="store_true")
+    p.add_argument("--int8", type=int, nargs="?", const=1, default=0,
+                   help="1 (or bare --int8) = int8 weight-only serving; "
+                        "2 = also int8 MXU compute for batched matmuls "
+                        "(accuracy gated by tools/int8_gate.py)")
     return p
 
 
@@ -97,6 +101,14 @@ def main(args):
         # ops/quant.cast_serving_weights), halves device residency
         from spann3r_tpu.ops.quant import cast_serving_weights
         params = cast_serving_weights(params)
+    if args.int8 and not args.fp32:
+        from spann3r_tpu.ops.quant import (count_quantized,
+                                           quantize_linear_weights)
+        params = quantize_linear_weights(params)
+        print(f"int8 weight-only serving: {count_quantized(params)} matrices")
+        if args.int8 >= 2:
+            os.environ["SPANN3R_INT8_ACT"] = "1"
+            print("int8 activation compute enabled for batched matmuls")
 
     for name, dataset in build_eval_datasets(args).items():
         save_path = osp.join(exp_path, name + ("_offline" if args.offline else ""))
