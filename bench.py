@@ -103,7 +103,8 @@ def main():
     ap.add_argument("--bf16_heads", action="store_true",
                     help="BF16_FAST serving precision (bf16 DPT heads)")
     ap.add_argument("--pallas_memread", type=int, default=1,
-                    help="use the fused Pallas memory-read kernel (B=1 only)")
+                    help="fused Pallas memory-read kernel (B=1 only; the "
+                         "TPU default everywhere — 0 forces the XLA path)")
     ap.add_argument("--pallas_attn", type=int, default=0,
                     help="use the fused Pallas SDPA kernel in all blocks")
     ap.add_argument("--flash_attn", type=int, default=0,
@@ -130,7 +131,11 @@ def main():
                     help="write a jax.profiler trace to this directory")
     args = ap.parse_args()
 
-    if args.pallas_memread and args.streams == 1:
+    # the kernel is now the TPU default (models/memory.py); the flag keeps
+    # an explicit off-switch for A/B timing
+    if not args.pallas_memread:
+        os.environ["SPANN3R_PALLAS_MEMREAD"] = "0"
+    elif args.streams == 1:
         os.environ["SPANN3R_PALLAS_MEMREAD"] = "1"
     if args.pallas_attn:
         os.environ["SPANN3R_PALLAS_ATTN"] = "1"
@@ -158,6 +163,7 @@ def main():
         print(f"int8 weight-only serving: {count_quantized(params)} "
               f"matrices quantized")
         if args.int8 >= 2:
+            # must precede the first jit trace (ops/layers.py contract)
             os.environ["SPANN3R_INT8_ACT"] = "1"
             print("int8 activation compute enabled for batched matmuls")
 

@@ -67,6 +67,7 @@ def load_model(args):
         params = quantize_linear_weights(params)
         print(f"int8 weight-only serving: {count_quantized(params)} matrices")
         if int(getattr(args, "int8", 0)) >= 2:
+            # must precede the first jit trace (ops/layers.py contract)
             os.environ["SPANN3R_INT8_ACT"] = "1"
             print("int8 activation compute enabled for batched matmuls")
     return params, cfg, prec

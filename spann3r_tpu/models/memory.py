@@ -76,8 +76,22 @@ def _per_stream_select(pred: jax.Array, new: MemoryState,
 
 
 def _use_pallas_memread() -> bool:
+    """Fused Pallas bank-readout dispatch (ops/pallas_memory.py).
+
+    Default ON for TPU backends: the kernel is inference-only (B=1,
+    attn_thresh>0, no dropout — exactly the serving read), parity-tested
+    in tests/test_pallas_memory.py, and ~15x faster than the XLA
+    masked-softmax read at 512-res bank sizes (PERF.md), so demo/eval/app
+    share bench.py's configuration. Env override: SPANN3R_PALLAS_MEMREAD=0
+    forces the XLA path, =1 forces the kernel (CPU interpret-mode tests).
+    Read at TRACE time — set it before the first jit of a serving program
+    (flips after tracing are no-ops on cached programs).
+    """
     import os
-    return os.environ.get("SPANN3R_PALLAS_MEMREAD") == "1"
+    flag = os.environ.get("SPANN3R_PALLAS_MEMREAD")
+    if flag is not None:
+        return flag == "1"
+    return jax.default_backend() == "tpu"
 
 
 def memory_read(norms, state: MemoryState, feat: jax.Array,

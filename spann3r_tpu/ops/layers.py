@@ -28,7 +28,12 @@ def dot(x: jax.Array, w: jax.Array) -> jax.Array:
 
 def _int8_act_min_rows() -> int:
     """0 disables the int8 activation path (default); read at trace time
-    like the remat-policy env vars."""
+    like the remat-policy env vars.
+
+    CONTRACT for writers of SPANN3R_INT8_ACT (bench/demo/eval/int8_gate):
+    set it BEFORE the first jit trace of a quantized-params program — jit
+    caches key on shapes/dtypes, not env vars, so a later flip silently
+    no-ops on already-traced programs."""
     import os
     n = int(os.environ.get("SPANN3R_INT8_ACT", "0"))
     return 1024 if n == 1 else n  # SPANN3R_INT8_ACT=<n> sets a custom floor

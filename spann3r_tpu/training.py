@@ -36,6 +36,12 @@ from .models import spann3r as sp
 from .parallel import mesh as pmesh
 
 
+# Abort after this many CONSECUTIVE steps whose update the on-device
+# non-finite-gradient gate suppressed while the loss stayed finite (see
+# make_optimizer); otherwise such a run would freeze silently.
+MAX_SUPPRESSED_STEPS = int(os.environ.get("SPANN3R_MAX_SUPPRESSED_STEPS", 25))
+
+
 # ---------------------------------------------------------------------------
 # args
 # ---------------------------------------------------------------------------
@@ -524,6 +530,11 @@ def train(args, model_cfg: Optional[Spann3RConfig] = None) -> Dict[str, Any]:
     steps_per_epoch = max(len(loader), 1)
     t0 = time.time()
     last_loss = float("nan")
+    # Streak of consecutive on-device-suppressed updates (non-finite grads
+    # while the loss stays finite, e.g. bf16 backward overflow). The lagged
+    # loss check alone would never fire then — training would freeze
+    # silently, every update a no-op — so abort after a bounded streak.
+    suppressed_streak = {"n": 0}
     for epoch in range(start_epoch, args.epochs + 1):
         # ---- eval + checkpointing cadence (ref training.py:377-405) ----
         test_stats = {}
@@ -580,15 +591,29 @@ def train(args, model_cfg: Optional[Spann3RConfig] = None) -> Dict[str, Any]:
         # and the host checks the PREVIOUS step's loss after enqueueing the
         # current one: params can never be poisoned, the abort fires at most
         # one iteration late, and steps dispatch back-to-back.
-        pending = None  # (iteration, device loss scalar) of the prior step
+        pending = None  # (iteration, loss, grad_norm) of the prior step
 
         def check_pending(p):
-            it_prev, dev_loss = p
+            it_prev, dev_loss, dev_gnorm = p
             loss_f = float(dev_loss)
             if not math.isfinite(loss_f):
                 raise RuntimeError(
                     f"non-finite loss {loss_f} at epoch {epoch} it {it_prev} "
-                    f"(update suppressed on device; detected one step late)")
+                    "(update suppressed on device; detected one step late — "
+                    "one additional finite step may have applied after it)")
+            # finite loss but non-finite grads: the gate suppressed the
+            # update; a persistent streak means training is silently frozen
+            if not math.isfinite(float(dev_gnorm)):
+                suppressed_streak["n"] += 1
+                if suppressed_streak["n"] >= MAX_SUPPRESSED_STEPS:
+                    raise RuntimeError(
+                        f"{suppressed_streak['n']} consecutive non-finite-"
+                        f"gradient steps (loss finite, last {loss_f}) up to "
+                        f"epoch {epoch} it {it_prev}: every update was "
+                        "suppressed by the on-device gate; aborting instead "
+                        "of training in place")
+            else:
+                suppressed_streak["n"] = 0
             return loss_f
 
         for it, batch in enumerate(loader):
@@ -613,7 +638,7 @@ def train(args, model_cfg: Optional[Spann3RConfig] = None) -> Dict[str, Any]:
             # check step N-1's loss AFTER enqueueing step N (see above)
             if pending is not None:
                 last_loss = check_pending(pending)
-            pending = (it, metrics["loss"])
+            pending = (it, metrics["loss"], metrics["grad_norm"])
 
             if it % args.print_freq == 0:
                 m = {k: float(v) for k, v in metrics.items()}

@@ -122,3 +122,30 @@ def opencv_to_colmap_intrinsics(k: np.ndarray) -> np.ndarray:
 def np_xy_grid(w: int, h: int) -> np.ndarray:
     xs, ys = np.meshgrid(np.arange(w), np.arange(h))
     return np.stack([xs, ys], axis=-1)
+
+
+def find_reciprocal_matches(p1: np.ndarray, p2: np.ndarray):
+    """Mutual nearest-neighbour matches between two point sets
+    (ref dust3r/utils/geometry.py:340-356).
+
+    Returns (reciprocal_in_p2 bool (len(p2),), nn2_in_p1 int (len(p2),),
+    num_matches) — p2[i] matches p1[nn2_in_p1[i]] iff reciprocal_in_p2[i].
+    Host-side; uses the native C++ KD-tree (spann3r_tpu/native) when built,
+    scipy otherwise.
+    """
+    from .. import native
+
+    p1 = np.ascontiguousarray(p1, np.float32)
+    p2 = np.ascontiguousarray(p2, np.float32)
+    if native.available() and p1.shape[1] == 3:
+        tree1, tree2 = native.NativeKDTree(p1), native.NativeKDTree(p2)
+        _, nn1_in_p2 = tree2.query(p1)
+        _, nn2_in_p1 = tree1.query(p2)
+    else:
+        from scipy.spatial import cKDTree
+
+        _, nn1_in_p2 = cKDTree(p2).query(p1, workers=-1)
+        _, nn2_in_p1 = cKDTree(p1).query(p2, workers=-1)
+
+    reciprocal_in_p2 = nn1_in_p2[nn2_in_p1] == np.arange(len(p2))
+    return reciprocal_in_p2, nn2_in_p1, int(reciprocal_in_p2.sum())

@@ -181,3 +181,52 @@ def test_train_loop_lagged_abort(seven_scenes_root, tmp_path, monkeypatch):
     with pytest.raises(RuntimeError, match="non-finite"):
         tr.train(args)
     assert calls["n"] >= 2
+
+
+def test_train_loop_suppressed_streak_abort(seven_scenes_root, tmp_path,
+                                            monkeypatch):
+    """Persistently non-finite GRADIENTS with a finite loss (bf16 backward
+    overflow) would silently freeze training: the on-device gate suppresses
+    every update and the lagged loss check never fires.  The loop must abort
+    after MAX_SUPPRESSED_STEPS consecutive suppressions instead."""
+    import jax.numpy as jnp
+
+    from spann3r_tpu import training as tr
+
+    parser = tr.get_args_parser()
+    args = parser.parse_args([])
+    args.resolution = 32
+    args.head_type = "linear"
+    args.num_frames = 3
+    args.batch_size = 2
+    args.epochs = 2
+    args.warmup_epochs = 0
+    args.eval_freq = 0
+    args.save_freq = 0
+    args.keep_freq = 0
+    args.print_freq = 100
+    args.num_workers = 0
+    args.bf16 = 0
+    args.output_dir = str(tmp_path / "run")
+    args.train_dataset = (
+        f"8 @ SevenScenes(split='test', ROOT='{seven_scenes_root}', "
+        f"resolution=32, num_frames=3, min_thresh=1, max_thresh=2)")
+    args.test_dataset = (
+        f"SevenScenes(split='test', ROOT='{seven_scenes_root}', "
+        f"resolution=32, full_video=True, kf_every=3, seed=777)")
+    monkeypatch.setattr(tr, "Spann3RConfig", lambda **kw: tiny_cfg())
+    monkeypatch.setattr(tr, "MAX_SUPPRESSED_STEPS", 3)
+
+    calls = {"n": 0}
+
+    def fake_accum(cfg, prec, opt, accum_iter, **kw):
+        def step(params, opt_state, batch, rng, lr, alpha):
+            calls["n"] += 1
+            return params, opt_state, {"loss": jnp.float32(1.0),
+                                       "grad_norm": jnp.float32(np.nan)}
+        return step, None, None
+
+    monkeypatch.setattr(tr, "make_accum_train_step", fake_accum)
+    with pytest.raises(RuntimeError, match="consecutive non-finite-gradient"):
+        tr.train(args)
+    assert calls["n"] >= 3

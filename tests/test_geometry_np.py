@@ -58,3 +58,28 @@ def test_device_helpers_roundtrip(rng):
     cat = collate_with_cat(items)
     assert cat["x"].shape == (3, 3)
     assert cat["idx"] == [0, 1, 2]
+
+
+def test_find_reciprocal_matches(rng):
+    from spann3r_tpu.utils.geometry import find_reciprocal_matches
+
+    p1 = rng.random((200, 3)).astype(np.float32)
+    # p2 = a shuffled noisy subset of p1 plus far-away outliers
+    perm = rng.permutation(150)
+    p2 = np.concatenate([p1[perm] + 1e-4 * rng.standard_normal((150, 3)).astype(np.float32),
+                         10.0 + rng.random((50, 3)).astype(np.float32)]).astype(np.float32)
+
+    rec_in_p2, nn2_in_p1, n = find_reciprocal_matches(p1, p2)
+    assert rec_in_p2.shape == (len(p2),) and nn2_in_p1.shape == (len(p2),)
+    assert n == int(rec_in_p2.sum())
+
+    # oracle: brute-force mutual NN (ref dust3r/utils/geometry.py:340-356)
+    d = np.linalg.norm(p1[:, None] - p2[None], axis=-1)
+    nn1 = d.argmin(axis=1)   # p1 -> p2
+    nn2 = d.argmin(axis=0)   # p2 -> p1
+    np.testing.assert_array_equal(nn2_in_p1, nn2)
+    np.testing.assert_array_equal(rec_in_p2, nn1[nn2] == np.arange(len(p2)))
+    # every noisy-subset point is a mutual match, no outlier is
+    assert rec_in_p2[:150].all() and not rec_in_p2[150:].any()
+    # reciprocity is symmetric: |matches in p1| == |matches in p2|
+    assert (nn2[nn1] == np.arange(len(p1))).sum() == n

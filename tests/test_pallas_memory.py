@@ -116,3 +116,20 @@ def test_env_flag_dispatch(rng, monkeypatch):
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(st_pl.attn), np.asarray(st_ref.attn),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_kernel_is_tpu_default(monkeypatch):
+    """Product serving (demo/eval/app) and bench share one configuration:
+    the kernel dispatches by default on TPU, never on CPU, and the env var
+    is a two-way override (VERDICT r4 #1)."""
+    monkeypatch.delenv("SPANN3R_PALLAS_MEMREAD", raising=False)
+    assert not M._use_pallas_memread()  # tests run on CPU
+
+    monkeypatch.setattr(M.jax, "default_backend", lambda: "tpu")
+    assert M._use_pallas_memread()
+    monkeypatch.setenv("SPANN3R_PALLAS_MEMREAD", "0")
+    assert not M._use_pallas_memread()
+
+    monkeypatch.setattr(M.jax, "default_backend", lambda: "cpu")
+    monkeypatch.setenv("SPANN3R_PALLAS_MEMREAD", "1")
+    assert M._use_pallas_memread()

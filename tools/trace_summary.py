@@ -92,10 +92,11 @@ def main():
         prev_end = None
         durs, gaps = [], []
         for e in prog:
-            gap = (e["ts"] - prev_end) / 1e3 if prev_end is not None else 0.0
+            is_first = prev_end is None
+            gap = 0.0 if is_first else (e["ts"] - prev_end) / 1e3
             prev_end = e["ts"] + e["dur"]
             durs.append(e["dur"] / 1e3)
-            if prev_end is not None:
+            if not is_first:  # only real inter-event gaps
                 gaps.append(gap)
             print(f"  t={e['ts'] / 1e3:12.2f}  dur={e['dur'] / 1e3:9.2f}"
                   f"  gap_before={gap:8.2f}  {e['name'][:60]}")
@@ -103,8 +104,8 @@ def main():
             import statistics as st
             print(f"  -> dur median {st.median(durs):.2f} ms "
                   f"(n={len(durs)}); gap median "
-                  f"{st.median(gaps[1:]) if len(gaps) > 1 else 0.0:.2f} ms, "
-                  f"max {max(gaps[1:], default=0.0):.2f} ms")
+                  f"{st.median(gaps) if gaps else 0.0:.2f} ms, "
+                  f"max {max(gaps, default=0.0):.2f} ms")
 
 
 if __name__ == "__main__":
