@@ -178,18 +178,23 @@ def main():
         fl = (frames[:n_off, 0].astype(np.float32) / 255.0) * 2.0 - 1.0
         # warmup/jit (greedy NBV loop + pairwise confs each run as ONE program)
         offline_reconstruction_fused(params, fl, cfg, hw, prec=prec)
-        t0 = time.perf_counter()
-        preds, _, _ = offline_reconstruction_fused(params, fl, cfg, hw,
-                                                   prec=prec)
-        np.asarray(preds[-1]["pts3d_in_other_view"]).ravel()[0]
-        elapsed = time.perf_counter() - t0
+        elapsed_reps = []
+        for _ in range(max(args.reps, 1)):
+            t0 = time.perf_counter()
+            preds, _, _ = offline_reconstruction_fused(params, fl, cfg, hw,
+                                                       prec=prec)
+            np.asarray(preds[-1]["pts3d_in_other_view"]).ravel()[0]
+            elapsed_reps.append(time.perf_counter() - t0)
+        elapsed = float(np.median(elapsed_reps))
         fps = n_off / elapsed
         print(json.dumps({
             "metric": f"offline_recon_fps_{args.width}x{args.height}",
             "value": round(fps, 3), "unit": "frames/s",
             "vs_baseline": round(fps / BASELINE_FPS, 3),
             "ms_per_frame": round(elapsed / n_off * 1e3, 3),
-            "frames": n_off, "mode": "offline",
+            "frames": n_off, "mode": "offline", "reps": len(elapsed_reps),
+            "fps_spread": [round(n_off / max(elapsed_reps), 2),
+                           round(n_off / min(elapsed_reps), 2)],
             "precision": "bf16_fast" if args.bf16_heads else "bf16"}))
         return
 
