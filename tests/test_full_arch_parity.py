@@ -32,16 +32,17 @@ KEYS_SNAPSHOT = osp.join(osp.dirname(__file__), "data",
 # the model string stored in the published DUSt3R_ViTLarge_BaseDecoder_512_dpt
 # checkpoint (ref dust3r/model.py:36-47 rewrites patch_embed_cls +
 # landscape_only on load; spann3r loads it with landscape_only=True)
-PUBLISHED_MODEL_STR = (
+_MODEL_STR_TMPL = (
     "AsymmetricCroCo3DStereo(output_mode='pts3d', head_type='dpt', "
     "depth_mode=('exp', -inf, inf), conf_mode=('exp', 1, inf), "
     "enc_embed_dim=1024, enc_depth=24, enc_num_heads=16, "
     "dec_embed_dim=768, dec_depth=12, dec_num_heads=12, "
-    "img_size=(224, 224), pos_embed='RoPE100', "
+    "img_size={img_size}, pos_embed='RoPE100', "
     "patch_embed_cls='PatchEmbedDust3R', landscape_only=False)")
+PUBLISHED_MODEL_STR = _MODEL_STR_TMPL.format(img_size="(224, 224)")
 
 
-def _build_reference_full(tmpdir: str):
+def _build_reference_full(tmpdir: str, model_str: str = PUBLISHED_MODEL_STR):
     """Reference Spann3R at the FULL published architecture (random init)."""
     import argparse
 
@@ -51,11 +52,11 @@ def _build_reference_full(tmpdir: str):
 
     torch.manual_seed(0)
     inf = float("inf")  # noqa: F841 — used inside the eval'd model string
-    net = eval(PUBLISHED_MODEL_STR)
+    net = eval(model_str)
     path = osp.join(tmpdir, "full_dust3r.pth")
     torch.serialization.add_safe_globals([argparse.Namespace])
     torch.save({"model": net.state_dict(),
-                "args": argparse.Namespace(model=PUBLISHED_MODEL_STR)}, path)
+                "args": argparse.Namespace(model=model_str)}, path)
     return Spann3R(dus3r_name=path).eval()
 
 
@@ -114,9 +115,18 @@ PARITY_ARTIFACT = osp.join(osp.dirname(__file__), "data",
                     reason="opt-in slow full-architecture parity: set "
                            "SPANN3R_FULL_PARITY=1")
 @requires_reference
-def test_full_architecture_forward_parity(tmp_path, rng):
-    """ViT-L/24 + dual ViT-B/12 + DPT at 224: repo forward == reference
-    torch forward with converted random weights (online eval semantics).
+@pytest.mark.parametrize("hw,ref_img_size", [
+    ((224, 224), "(224, 224)"),
+    # the 512x384 serving flagship: 768 tokens/frame, the 512 RoPE caches
+    # and the non-square DPT reassembly path (VERDICT r4 #4); the published
+    # 512 ckpt declares img_size=(512, 512) and forwards any multiple of 16
+    # (ref dust3r/patch_embed.py:20-29, dust3r/model.py:36-44)
+    ((384, 512), "(512, 512)"),
+], ids=["224", "512x384"])
+def test_full_architecture_forward_parity(tmp_path, rng, hw, ref_img_size):
+    """ViT-L/24 + dual ViT-B/12 + DPT: repo forward == reference torch
+    forward with converted random weights (online eval semantics), at the
+    224 eval res AND the 512x384 serving flagship res.
 
     Each run records a checked-in artifact (tests/data/full_parity_latest.json)
     with per-output max-abs errors, the config string and the run date, so the
@@ -126,12 +136,13 @@ def test_full_architecture_forward_parity(tmp_path, rng):
 
     import torch
 
-    ref = _build_reference_full(str(tmp_path))
+    ref = _build_reference_full(
+        str(tmp_path), _MODEL_STR_TMPL.format(img_size=ref_img_size))
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
-    cfg = Spann3RConfig(dust3r=DUSt3RConfig(img_size=(224, 224)))
+    cfg = Spann3RConfig(dust3r=DUSt3RConfig(img_size=hw))
     params = ck.convert_spann3r(sd, cfg)
 
-    t, hw = 3, (224, 224)
+    t = 3
     frames = rng.standard_normal((t, 1, *hw, 3)).astype(np.float32) * 0.5
 
     views = [{"img": torch.from_numpy(np.transpose(frames[i], (0, 3, 1, 2))),
@@ -158,13 +169,21 @@ def test_full_architecture_forward_parity(tmp_path, rng):
                ref_preds[i]["pts3d_in_other_view"])
         _check(f"conf_{i}", preds[i]["conf"], ref_preds[i]["conf"])
 
+    # merge this resolution's entry into the shared artifact
+    doc = {}
+    if osp.exists(PARITY_ARTIFACT):
+        with open(PARITY_ARTIFACT) as f:
+            doc = json.load(f)
+        if "max_abs_error" in doc:  # pre-r5 single-resolution layout
+            doc = {"224x224": doc}
+    doc[f"{hw[0]}x{hw[1]}"] = {
+        "date": datetime.date.today().isoformat(),
+        "arch": f"ViT-L/24 enc + dual ViT-B/12 dec + DPT heads @{hw}, "
+                "online eval semantics, T=3, FP32",
+        "tolerance": {"rtol": 1e-2, "atol": 1e-2},
+        "max_abs_error": errs,
+        "backend": __import__("jax").default_backend(),
+    }
     with open(PARITY_ARTIFACT, "w") as f:
-        json.dump({
-            "date": datetime.date.today().isoformat(),
-            "arch": "ViT-L/24 enc + dual ViT-B/12 dec + DPT heads @224, "
-                    "online eval semantics, T=3, FP32",
-            "tolerance": {"rtol": 1e-2, "atol": 1e-2},
-            "max_abs_error": errs,
-            "backend": __import__("jax").default_backend(),
-        }, f, indent=1, sort_keys=True)
+        json.dump(doc, f, indent=1, sort_keys=True)
         f.write("\n")
