@@ -61,7 +61,10 @@ def linear_head_apply(p, dec_states: List[jax.Array], img_hw: Tuple[int, int],
     """Last decoder state -> per-token 16x16x(3+conf) patch via pixel shuffle."""
     h, w = img_hw
     ps = cfg.patch_size
-    tokens = dec_states[-1].astype(jnp.float32)
+    # dtype set by the caller (dust3r.downstream_head casts the states to
+    # prec.head_dtype; linear()/conv2d() follow the activation dtype) —
+    # fp32 by default, bf16 under the BF16_FAST serving opt-in
+    tokens = dec_states[-1]
     feat = linear(p["proj"], tokens)  # (B, N, (3+c)*ps*ps)
     b, n, _ = feat.shape
     nh, nw = h // ps, w // ps
@@ -121,7 +124,10 @@ def dpt_head_apply(p, dec_states: List[jax.Array], img_hw: Tuple[int, int],
 
     maps = []
     for i, hook in enumerate(hooks):
-        t = dec_states[hook].astype(jnp.float32)
+        # dtype set by the caller (dust3r.downstream_head casts to
+        # prec.head_dtype; convs follow the activation dtype): fp32 by
+        # default, bf16 under the BF16_FAST serving opt-in
+        t = dec_states[hook]
         b, n, c = t.shape
         maps.append(t.reshape(b, nh, nw, c))
 

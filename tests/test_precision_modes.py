@@ -58,12 +58,18 @@ def test_bf16_fast_matches_bf16():
     em = em_ref.astype(bool)
     assert em.any()
 
-    # pointmaps: bf16 heads cost ~3 decimal digits; demand agreement well
-    # inside what downstream conf-thresholded fusion can absorb
+    # pointmaps: bf16 heads carry ~8 mantissa bits (1 ulp = 2^-8 ~ 0.4%
+    # relative), so a few ulps of drift through the conv cascade is the
+    # expected signal — and it must be PRESENT: rel == 0 everywhere would
+    # mean head_dtype silently stopped reaching the head (the r4 regression
+    # this test now guards: heads.py force-cast the states back to fp32,
+    # making BF16_FAST a no-op)
     scale = np.abs(pts_ref[em]).mean() + 1e-6
     rel = np.abs(pts_fast[em] - pts_ref[em]) / scale
-    assert np.median(rel) < 5e-3, np.median(rel)
-    assert np.quantile(rel, 0.99) < 5e-2, np.quantile(rel, 0.99)
+    assert rel.max() > 0.0, "BF16_FAST output identical to BF16 — bf16 " \
+                            "heads are not actually running in bf16"
+    assert np.median(rel) < 2e-2, np.median(rel)
+    assert np.quantile(rel, 0.99) < 1e-1, np.quantile(rel, 0.99)
 
     # confidence: same sparsification behavior at the demo threshold
     rel_c = np.abs(conf_fast[em] - conf_ref[em]) / (np.abs(conf_ref[em]) + 1e-6)
