@@ -65,12 +65,70 @@ def _read_curve(output_dir: str) -> list:
     return curve
 
 
+def _kill_resume_drill(args, child_cmd, kill_epoch: int,
+                       mid_epoch_wait: float = 15.0) -> Dict[str, Any]:
+    """Run the training child process and SIGKILL it mid-epoch
+    `kill_epoch`, so the parent's subsequent tr.train() call exercises the
+    real auto-resume path (ref training.py:377-405 load-last semantics).
+
+    The top-of-epoch log line for `kill_epoch` is written AFTER the
+    checkpoint-last save for kill_epoch-1 (training.py epoch loop order),
+    so once it appears the child is provably inside epoch `kill_epoch`
+    with a resumable checkpoint on disk; we then wait a beat so the kill
+    lands mid-epoch, not on the boundary."""
+    import signal
+    import subprocess
+    import time
+
+    log_path = os.path.join(args.output_dir, "log.txt")
+
+    def _top_of_epoch_seen(epoch: int) -> bool:
+        if not os.path.exists(log_path):
+            return False
+        for line in open(log_path):
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            # top-of-epoch stats line (no train_loss key) vs epoch-end
+            # train summary
+            if d.get("epoch") == epoch and "train_loss" not in d:
+                return True
+        return False
+
+    proc = subprocess.Popen(child_cmd)
+    t0 = time.time()
+    try:
+        while not _top_of_epoch_seen(kill_epoch):
+            if proc.poll() is not None:
+                raise RuntimeError(
+                    f"training child exited (rc={proc.returncode}) before "
+                    f"epoch {kill_epoch} was reached — cannot drill resume")
+            time.sleep(2.0)
+        time.sleep(mid_epoch_wait)  # land the kill mid-epoch
+        proc.send_signal(signal.SIGKILL)
+        proc.wait()
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+    return {"kill_epoch": kill_epoch, "child_wall_s": time.time() - t0,
+            "child_rc": proc.returncode}
+
+
 def run_gate(args, model_cfg, chamfer_expr: str,
              n_chamfer_scenes: int = 4,
-             artifact_path: Optional[str] = None) -> Dict[str, Any]:
+             artifact_path: Optional[str] = None,
+             kill_resume: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
     """Eval-before -> train (real driver) -> eval-after.  Returns (and
     optionally writes) the gate artifact with before/after eval stats,
-    before/after chamfer, and the per-epoch eval curve from log.txt."""
+    before/after chamfer, and the per-epoch eval curve from log.txt.
+
+    kill_resume={'cmd': [...], 'epoch': K} additionally runs the training
+    start in a subprocess, SIGKILLs it mid-epoch K, and lets the in-process
+    tr.train() auto-resume from checkpoint-last — the artifact then records
+    the resume boundary and asserts the train-loss curve is continuous
+    across it."""
     import jax
     import jax.numpy as jnp
 
@@ -78,6 +136,17 @@ def run_gate(args, model_cfg, chamfer_expr: str,
     from ..config import BF16, Precision
     from ..datasets import build_dataset
     from ..models import spann3r as sp
+
+    # The drill runs FIRST, before this process touches any device: on the
+    # single-chip TPU (axon tunnel) two live JAX clients contend for the
+    # chip, so the child must own it alone until it is killed.  params0 is
+    # deterministic from the seed, so the before-eval below is unaffected
+    # by computing it after the drill.
+    drill = None
+    if kill_resume:
+        drill = _kill_resume_drill(args, kill_resume["cmd"],
+                                   kill_resume["epoch"],
+                                   kill_resume.get("mid_epoch_wait", 15.0))
 
     prec = BF16 if args.bf16 else Precision(compute_dtype=jnp.float32)
     params0 = sp.init_spann3r(jax.random.PRNGKey(args.seed), model_cfg)
@@ -94,6 +163,8 @@ def run_gate(args, model_cfg, chamfer_expr: str,
                                    n_chamfer_scenes)
     del params0
 
+    # with kill_resume this auto-resumes from the killed child's
+    # checkpoint-last (training.py restore("last") path)
     result = tr.train(args, model_cfg=model_cfg)
     params1 = result["params"]
 
@@ -118,6 +189,35 @@ def run_gate(args, model_cfg, chamfer_expr: str,
         "chamfer_improved": after_chamfer["chamfer"]
         < before_chamfer["chamfer"],
     }
+
+    # schedule coverage + resume-boundary continuity from the train-loss
+    # curve (training.py writes per-epoch {'epoch','train_loss','alpha',
+    # 'active_ratio'} summary lines)
+    train_curve = [d for d in artifact["curve"] if "train_loss" in d]
+    if train_curve:
+        alphas = [d["alpha"] for d in train_curve]
+        ars = [d["active_ratio"] for d in train_curve]
+        artifact["schedule"] = {
+            "alpha_per_epoch": alphas, "active_ratio_per_epoch": ars,
+            "alpha_c2f_kink_crossed": min(alphas) < max(alphas),
+            "active_ratio_decay_crossed": len(ars) > 1
+            and ars[-1] < max(ars),
+        }
+    if drill:
+        k = drill["kill_epoch"]
+        losses = {d["epoch"]: d["train_loss"] for d in train_curve}
+        pre, post = losses.get(k - 1), losses.get(k)
+        drill["loss_before_kill"] = pre
+        drill["loss_after_resume"] = post
+        drill["loss_at_start"] = train_curve[0]["train_loss"] \
+            if train_curve else None
+        # continuity: the first post-resume epoch must continue the
+        # descent, not restart anywhere near the from-scratch loss
+        drill["curve_continuous"] = (
+            pre is not None and post is not None
+            and post < pre * 1.5
+            and post < drill["loss_at_start"] * 0.8)
+        artifact["kill_resume"] = drill
     if artifact_path:
         os.makedirs(os.path.dirname(os.path.abspath(artifact_path)),
                     exist_ok=True)

@@ -185,6 +185,58 @@ def layer_lr_scales(params, enc_depth: int, dec_depth: int,
     return out
 
 
+def _global_norm_f32(grads) -> jax.Array:
+    """Global L2 norm with fp32 accumulation regardless of leaf dtype.
+
+    optax.global_norm reduces in the leaf dtype — fine for fp32 grads,
+    but under SPANN3R_GRADS_BF16 the grads arrive in bf16 and a bf16
+    sum-of-squares over ~700M coordinates is too coarse for the clip
+    threshold.  The upcast fuses into the reduce (no extra pass)."""
+    return jnp.sqrt(sum(
+        jnp.sum(jnp.square(g.astype(jnp.float32)))
+        for g in jax.tree.leaves(grads)))
+
+
+def work_params(params, prec: Precision):
+    """bf16 working copy of the fp32 master params for forward/backward
+    (SPANN3R_GRADS_BF16=1).
+
+    Differentiating w.r.t. this copy makes every gradient flow in bf16:
+    the scan-transpose traffic that dominates the train-step residue —
+    dynamic-update-slice writes into the stacked per-block grad buffers
+    and the shared-weight accumulation adds across the T-frame scan,
+    ~30 ms/step of fp32 HBM traffic at B=4 T=5 @224 (PERF.md r5 trace) —
+    is halved, as are the param reads of the forward + remat recompute +
+    backward.  The fp32 master is only touched by the optimizer, whose
+    per-coordinate math stays fp32 (make_optimizer upcasts in registers).
+
+    Head params stay fp32: the heads compute in prec.head_dtype (fp32 by
+    contract, config.BF16), so rounding their weights would quantize the
+    one subgraph the precision policy deliberately keeps exact.
+
+    The reference has no analogue (torch autocast keeps fp32 grads,
+    croco/utils/misc.py NativeScaler); this is a documented TPU-native
+    deviation, gated off by default and convergence-gated before use."""
+    if prec.compute_dtype != jnp.bfloat16:
+        return params
+
+    def cast_tree(t):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, t)
+
+    out = {k: cast_tree(v) for k, v in params.items() if k != "dust3r"}
+    out["dust3r"] = {k: (v if k in ("head1", "head2") else cast_tree(v))
+                     for k, v in params["dust3r"].items()}
+    return out
+
+
+def _grads_bf16_default() -> bool:
+    # read once at step-BUILD time (not trace time): callers set the env
+    # var before make_train_step, same contract as SPANN3R_REMAT_POLICY
+    return os.environ.get("SPANN3R_GRADS_BF16", "0") == "1"
+
+
 def make_optimizer(weight_decay: float,
                    moment_dtype=None) -> optax.GradientTransformation:
     """AdamW(0.9, 0.95) + global-norm clip 1.0; LR injected per step.
@@ -223,7 +275,7 @@ def make_optimizer(weight_decay: float,
             nu=jax.tree.map(jnp.copy, zeros))
 
     def update_fn(grads, state, params):
-        gnorm = optax.global_norm(grads)
+        gnorm = _global_norm_f32(grads)
         finite = jnp.isfinite(gnorm)
         # optax.clip_by_global_norm semantics: scale only when gnorm >= max
         scale = jnp.where(gnorm < max_norm, 1.0, max_norm / gnorm)
@@ -245,7 +297,10 @@ def make_optimizer(weight_decay: float,
             u = jnp.where(finite, u, 0.0)
             m2 = jnp.where(finite, m2, mf)
             v2 = jnp.where(finite, v2, vf)
-            return (u.astype(g.dtype), m2.astype(m.dtype), v2.astype(v.dtype))
+            # updates in the PARAM dtype: under SPANN3R_GRADS_BF16 the
+            # grads are bf16 but the update must not round before it hits
+            # the fp32 master params
+            return (u.astype(p.dtype), m2.astype(m.dtype), v2.astype(v.dtype))
 
         out = jax.tree.map(leaf, grads, state.mu, state.nu, params, mask)
         updates = jax.tree.map(lambda o: o[0], out,
@@ -261,17 +316,24 @@ def make_optimizer(weight_decay: float,
 
 def make_train_step(cfg: Spann3RConfig, prec: Precision, opt, remat: bool = True,
                     fix_first: bool = False, param_shardings=None,
-                    remat_scan: Optional[bool] = None):
+                    remat_scan: Optional[bool] = None,
+                    grads_bf16: Optional[bool] = None):
     """Returns jitted train_step(params, opt_state, batch, rng, lr, alpha).
 
     `param_shardings` (a pytree of NamedSharding matching params) pins the
     updated params back onto the ('data','model') mesh layout so tensor-
     parallel weight shards stay put across steps (the reference's scaling
-    analogue is DDP, spann3r/training.py:322-325; tp is TPU-native extra)."""
+    analogue is DDP, spann3r/training.py:322-325; tp is TPU-native extra).
 
-    def loss_fn(params, batch, rng, alpha):
+    `grads_bf16` (default: SPANN3R_GRADS_BF16 env, read at build time)
+    differentiates w.r.t. a bf16 working copy of the params — see
+    work_params for the precision contract and the traffic it saves."""
+    if grads_bf16 is None:
+        grads_bf16 = _grads_bf16_default()
+
+    def loss_fn(wp, batch, rng, alpha):
         frames = jnp.transpose(batch["img"], (1, 0, 2, 3, 4))  # (B,T,H,W,3)
-        preds = sp.forward_train(params, frames, cfg, prec, rng=rng,
+        preds = sp.forward_train(wp, frames, cfg, prec, rng=rng,
                                  remat=remat, remat_scan=remat_scan)
         gts = {"pts3d": batch["pts3d"],
                "valid_mask": batch["valid_mask"],
@@ -283,9 +345,10 @@ def make_train_step(cfg: Spann3RConfig, prec: Precision, opt, remat: bool = True
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, rng, lr, alpha):
+        wp = work_params(params, prec) if grads_bf16 else params
         (loss, details), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch, rng, alpha)
-        gnorm = optax.global_norm(grads)
+            wp, batch, rng, alpha)
+        gnorm = _global_norm_f32(grads)
         updates, opt_state = opt.update(grads, opt_state, params)
         updates = jax.tree.map(lambda u: -lr * u, updates)  # lr injection
         params = optax.apply_updates(params, updates)
@@ -303,14 +366,15 @@ def make_accum_train_step(cfg: Spann3RConfig, prec: Precision, opt,
                           remat_scan: Optional[bool] = None):
     """Gradient-accumulation variant (ref training.py:226-231 accum_iter):
     grad_step accumulates scaled grads; apply_step runs the optimizer."""
+    grads_bf16 = _grads_bf16_default()
     base = make_train_step(cfg, prec, opt, remat, fix_first, param_shardings,
-                           remat_scan)
+                           remat_scan, grads_bf16=grads_bf16)
     if accum_iter <= 1:
         return base, None, None
 
-    def loss_fn(params, batch, rng, alpha):
+    def loss_fn(wp, batch, rng, alpha):
         frames = jnp.transpose(batch["img"], (1, 0, 2, 3, 4))
-        preds = sp.forward_train(params, frames, cfg, prec, rng=rng,
+        preds = sp.forward_train(wp, frames, cfg, prec, rng=rng,
                                  remat=remat, remat_scan=remat_scan)
         gts = {k: batch[k] for k in ("pts3d", "valid_mask", "camera_pose")}
         loss, details, factor_loss = losses.conf_loss_t(
@@ -319,19 +383,24 @@ def make_accum_train_step(cfg: Spann3RConfig, prec: Precision, opt,
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def grad_step(params, grad_acc, batch, rng, alpha):
+        # under grads_bf16 the per-microbatch grads flow in bf16 but the
+        # ACCUMULATOR stays fp32 (grad_acc is zeros_like(params), fp32):
+        # summing accum_iter microbatches in bf16 would compound rounding
+        wp = work_params(params, prec) if grads_bf16 else params
         (loss, details), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch, rng, alpha)
+            wp, batch, rng, alpha)
         # non-finite micro-batches contribute nothing to the accumulator
         # (same on-device no-poison guarantee as make_optimizer's gate)
-        ok = jnp.isfinite(optax.global_norm(grads))
+        ok = jnp.isfinite(_global_norm_f32(grads))
         grad_acc = jax.tree.map(
-            lambda a, g: a + jnp.where(ok, g, 0.0) / accum_iter,
+            lambda a, g: a + jnp.where(ok, g.astype(a.dtype), 0.0)
+            / accum_iter,
             grad_acc, grads)
         return grad_acc, dict(details, loss=loss)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def apply_step(params, opt_state, grad_acc, lr):
-        gnorm = optax.global_norm(grad_acc)
+        gnorm = _global_norm_f32(grad_acc)
         updates, opt_state = opt.update(grad_acc, opt_state, params)
         updates = jax.tree.map(lambda u: -lr * u, updates)
         params = optax.apply_updates(params, updates)
@@ -663,6 +732,17 @@ def train(args, model_cfg: Optional[Spann3RConfig] = None) -> Dict[str, Any]:
             jax.profiler.stop_trace()
         logger.synchronize_between_processes()
         print(f"E{epoch} averaged stats: {logger}")
+        if rank == 0 and logger.meters["loss"].count > 0:
+            # per-epoch train summary in log.txt (ref croco/utils/misc.py
+            # log_stats: {'train_loss', 'train_lr', 'epoch'} JSONL); alpha /
+            # active_ratio recorded so schedule transitions are visible in
+            # the curve (convergence-gate continuity checks read these)
+            with open(log_path, "a") as f:
+                f.write(json.dumps({
+                    "epoch": epoch,
+                    "train_loss": logger.meters["loss"].global_avg,
+                    "train_lr": logger.meters["lr"].global_avg,
+                    "alpha": alpha, "active_ratio": active_ratio}) + "\n")
 
     print(f"Training done in {time.time() - t0:.0f}s")
     # final state returned for callers/tests; the CLI ignores it

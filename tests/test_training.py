@@ -357,6 +357,52 @@ def test_remat_policy_matches_default(rng, policy, monkeypatch):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_grads_bf16_matches_default(rng):
+    """SPANN3R_GRADS_BF16 (bf16 working params + bf16 grads, fp32 master —
+    training.work_params): the forward is BIT-identical to the default
+    BF16 path (default casts each fp32 weight to bf16 at use; the work
+    copy pre-rounds once to the same values, and head params stay fp32
+    in both), so the loss must match exactly; gradients/updates differ
+    only by bf16 rounding of the grads."""
+    from spann3r_tpu.config import BF16
+
+    cfg = tiny_cfg()
+    params = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
+    batch = {k: jnp.asarray(v) for k, v in synth_batch(rng).items()}
+    opt = tr.make_optimizer(0.05)
+
+    # the work copy keeps heads fp32 and rounds everything else
+    wp = tr.work_params(params, BF16)
+    head_dts = {l.dtype for l in jax.tree.leaves(
+        {k: wp["dust3r"][k] for k in ("head1", "head2")})}
+    assert all(d == jnp.float32 for d in head_dts), head_dts
+    rest = {l.dtype for l in jax.tree.leaves(wp["value_encoder"])}
+    assert all(d == jnp.bfloat16 for d in rest), rest
+
+    outs = {}
+    for flag in (False, True):
+        p = jax.tree.map(jnp.copy, params)   # steps donate their inputs
+        st = opt.init(p)
+        step = tr.make_train_step(cfg, BF16, opt, remat=True,
+                                  grads_bf16=flag)
+        p, st, m = step(p, st, batch, jax.random.PRNGKey(1),
+                        jnp.float32(1e-4), jnp.float32(0.4))
+        outs[flag] = (p, m)
+
+    m0, m1 = outs[False][1], outs[True][1]
+    # identical forward -> identical loss
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                               rtol=1e-6)
+    # grad norm within bf16 rounding of the fp32-grads value
+    np.testing.assert_allclose(float(m0["grad_norm"]),
+                               float(m1["grad_norm"]), rtol=2e-2)
+    for a, b in zip(jax.tree.leaves(outs[False][0]),
+                    jax.tree.leaves(outs[True][0])):
+        assert a.dtype == b.dtype == jnp.float32  # master stays fp32
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=2e-5)
+
+
 def test_optimizer_nonfinite_gate(rng):
     """A non-finite gradient step must be a no-op ON DEVICE: params update
     zero, Adam moments and the bias-correction count unchanged.  train()'s

@@ -54,7 +54,35 @@ def main():
     ap.add_argument("--out", type=str,
                     default="tests/data/convergence_gate_r4.json")
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--deep", action="store_true",
+                    help="VERDICT r4 #6 deep gate: 8 epochs (crosses the "
+                         "alpha-c2f kink at epoch>4 AND the active_ratio "
+                         "decay at epoch>6) + SIGKILL mid-epoch --kill_at "
+                         "with auto-resume, loss-curve continuity asserted")
+    ap.add_argument("--kill_at", type=int, default=None,
+                    help="SIGKILL the training child mid-epoch N, then "
+                         "auto-resume in-process (implies a subprocess "
+                         "training start); --deep defaults this to 5")
+    ap.add_argument("--_child", action="store_true", help=argparse.SUPPRESS)
     args_cli = ap.parse_args()
+    if args_cli.deep:
+        if args_cli.epochs == 4:
+            args_cli.epochs = 8
+        if args_cli.kill_at is None:
+            args_cli.kill_at = 5
+        if args_cli.output_dir == "./output/conv_gate":
+            # keep the r4 artifacts (int8/bf16fast gates read its
+            # checkpoint-best) out of the drill's way
+            args_cli.output_dir = "./output/conv_gate_deep"
+    if args_cli.kill_at and not args_cli._child:
+        # the drill must start from scratch: stale checkpoints would make
+        # the child auto-resume and skip the epochs we intend to kill
+        import shutil
+        for sub in ("checkpoints", "log.txt"):
+            p = os.path.join(args_cli.output_dir, sub)
+            if os.path.exists(p):
+                print(f"kill/resume drill: clearing stale {p}")
+                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
 
     from spann3r_tpu import training as tr
     from spann3r_tpu.tools.convergence import run_gate
@@ -70,7 +98,11 @@ def main():
     args.lr = args_cli.lr
     args.min_lr = 1e-6
     args.eval_freq = 1
-    args.save_freq = args_cli.epochs  # last only
+    # kill/resume drill needs a per-epoch checkpoint-last (the kill lands
+    # mid-epoch kill_at and the resume loads the epoch kill_at-1 save);
+    # otherwise save last only at the end
+    args.save_freq = 1 if (args_cli.kill_at or args_cli._child) \
+        else args_cli.epochs
     args.keep_freq = 0
     args.print_freq = 10
     args.num_workers = 1
@@ -89,9 +121,29 @@ def main():
         f"SynthRoom(num_seq=3, resolution={res}, seq_len=16, kf_every=2, "
         f"full_video=True, scene_seed=9)")
 
+    if args_cli._child:
+        # subprocess phase of the kill/resume drill: ONLY the real training
+        # driver, killed by the parent mid-epoch
+        tr.train(args, model_cfg=small_cfg(res))
+        return
+
+    kill_resume = None
+    if args_cli.kill_at:
+        child_cmd = [sys.executable, os.path.abspath(__file__), "--_child",
+                     "--resolution", str(res),
+                     "--epochs", str(args_cli.epochs),
+                     "--batch_size", str(args_cli.batch_size),
+                     "--steps_per_epoch", str(args_cli.steps_per_epoch),
+                     "--lr", str(args_cli.lr),
+                     "--output_dir", args_cli.output_dir]
+        if args_cli.fp32:
+            child_cmd.append("--fp32")
+        kill_resume = {"cmd": child_cmd, "epoch": args_cli.kill_at}
+
     t0 = time.time()
     artifact = run_gate(args, small_cfg(res), chamfer_expr,
-                        n_chamfer_scenes=3, artifact_path=args_cli.out)
+                        n_chamfer_scenes=3, artifact_path=args_cli.out,
+                        kill_resume=kill_resume)
     artifact["wall_s"] = time.time() - t0
     artifact["date"] = time.strftime("%Y-%m-%d")
     import json
@@ -107,6 +159,20 @@ def main():
           f"(acc {b['chamfer']['acc']:.4f} -> {a['chamfer']['acc']:.4f}, "
           f"comp {b['chamfer']['comp']:.4f} -> {a['chamfer']['comp']:.4f})")
     ok = artifact["eval_improved"] and artifact["chamfer_improved"]
+    if "schedule" in artifact:
+        s = artifact["schedule"]
+        print(f"alpha/epoch : {s['alpha_per_epoch']}")
+        print(f"ar/epoch    : {s['active_ratio_per_epoch']}")
+        if args_cli.deep:
+            ok = ok and s["alpha_c2f_kink_crossed"] \
+                and s["active_ratio_decay_crossed"]
+    if "kill_resume" in artifact:
+        d = artifact["kill_resume"]
+        print(f"kill/resume : killed mid-epoch {d['kill_epoch']}, loss "
+              f"{d['loss_before_kill']:.4f} -> {d['loss_after_resume']:.4f} "
+              f"across the boundary (start {d['loss_at_start']:.4f}), "
+              f"continuous={d['curve_continuous']}")
+        ok = ok and d["curve_continuous"]
     print("GATE:", "PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 

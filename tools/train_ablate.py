@@ -110,6 +110,7 @@ def main():
         os.environ.pop("SPANN3R_REMAT_POLICY", None)
         os.environ.pop("SPANN3R_REMAT_SCAN", None)
         os.environ.pop("SPANN3R_NO_REMAT_ENC", None)
+        os.environ.pop("SPANN3R_GRADS_BF16", None)
         remat = True
         moment_dtype = None
         chain_opt = False
@@ -138,6 +139,11 @@ def main():
                 # encoder recompute (models/spann3r.py forward_train)
                 os.environ["SPANN3R_NO_REMAT_ENC"] = "1"
                 recompute_factor -= enc_frac
+            elif part == "gradsbf16":
+                # bf16 working params + bf16 grads, fp32 master
+                # (training.work_params): halves scan-transpose grad
+                # traffic + fwd/remat/bwd param reads; no FLOP change
+                os.environ["SPANN3R_GRADS_BF16"] = "1"
             elif part == "adambf16":
                 # bf16 Adam-moment storage (training.make_optimizer):
                 # halves optimizer-state HBM traffic; no FLOP change
