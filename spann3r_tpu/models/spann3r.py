@@ -237,7 +237,15 @@ def forward_train(params, frames: jax.Array, cfg: Spann3RConfig,
     if remat_scan:
         body = jax.checkpoint(body, prevent_cse=False)
     steps = (jnp.arange(t - 1, dtype=jnp.int32), feats[:-1], feats[1:])
-    (_, _), ys = jax.lax.scan(body, (mem0, feat_k2_0), steps)
+    # SPANN3R_UNROLL_TSCAN=<n>: unroll the T-scan body n-fold (numerics-
+    # neutral; lax.scan unroll). With n = T-1 the loop disappears and XLA
+    # can fuse the per-iteration shared-weight grad adds into their
+    # consumers — the last named train-step residue (PERF.md r5,
+    # add_add_fusion ~13 ms/step). Opt-in: n-fold body = n-fold compile
+    # through the remote-compile tunnel.
+    unroll = int(os.environ.get("SPANN3R_UNROLL_TSCAN", "1"))
+    (_, _), ys = jax.lax.scan(body, (mem0, feat_k2_0), steps,
+                              unroll=max(1, unroll))
     return ys
 
 

@@ -181,6 +181,10 @@ def run_gate(args, model_cfg, chamfer_expr: str,
         "accum_iter": args.accum_iter, "remat_scan": bool(args.remat_scan),
         "lr": args.lr, "alpha_c2f": bool(args.alpha_c2f),
         "bf16": bool(args.bf16),
+        # precision deviations active during the gated run (training.py
+        # reads these at step-build time)
+        "adam_bf16": os.environ.get("SPANN3R_ADAM_BF16", "") == "1",
+        "grads_bf16": os.environ.get("SPANN3R_GRADS_BF16", "") == "1",
         "before": {"eval": before_eval, "chamfer": before_chamfer},
         "after": {"eval": after_eval, "chamfer": after_chamfer},
         "curve": _read_curve(args.output_dir),

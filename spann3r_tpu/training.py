@@ -216,7 +216,10 @@ def work_params(params, prec: Precision):
 
     The reference has no analogue (torch autocast keeps fp32 grads,
     croco/utils/misc.py NativeScaler); this is a documented TPU-native
-    deviation, gated off by default and convergence-gated before use."""
+    deviation — the train() default for bf16 training (SPANN3R_GRADS_BF16=0
+    opts out; library fns default OFF unless the env var is set),
+    convergence-gated incl. a kill/auto-resume boundary
+    (tests/data/convergence_gate_r5_deep.json)."""
     if prec.compute_dtype != jnp.bfloat16:
         return params
 
@@ -250,10 +253,12 @@ def make_optimizer(weight_decay: float,
     + param traffic per step at ViT-L scale).  Numerics bit-match the optax
     chain (tests/test_training.py::test_fused_optimizer_matches_optax).
 
-    moment_dtype=jnp.bfloat16 (opt-in, SPANN3R_ADAM_BF16=1 in train())
-    stores Adam mu/nu in bf16 — compute stays fp32 — halving moment traffic
-    and residency.  A documented deviation: the reference's torch.AdamW
-    keeps fp32 state (croco/utils/misc.py uses the default AdamW).
+    moment_dtype=jnp.bfloat16 (the train() default for bf16 training since
+    r5, SPANN3R_ADAM_BF16=0 opts out) stores Adam mu/nu in bf16 — compute
+    stays fp32 — halving moment traffic and residency.  A documented
+    deviation: the reference's torch.AdamW keeps fp32 state
+    (croco/utils/misc.py uses the default AdamW); convergence-gated
+    through the full recipe (tests/data/convergence_gate_r5_deep.json).
 
     Non-finite safety gate: when the global grad norm is inf/nan the whole
     update is suppressed ON DEVICE — params, moments and the bias-correction
@@ -363,10 +368,12 @@ def make_train_step(cfg: Spann3RConfig, prec: Precision, opt, remat: bool = True
 def make_accum_train_step(cfg: Spann3RConfig, prec: Precision, opt,
                           accum_iter: int, remat: bool = True,
                           fix_first: bool = False, param_shardings=None,
-                          remat_scan: Optional[bool] = None):
+                          remat_scan: Optional[bool] = None,
+                          grads_bf16: Optional[bool] = None):
     """Gradient-accumulation variant (ref training.py:226-231 accum_iter):
     grad_step accumulates scaled grads; apply_step runs the optimizer."""
-    grads_bf16 = _grads_bf16_default()
+    if grads_bf16 is None:
+        grads_bf16 = _grads_bf16_default()
     base = make_train_step(cfg, prec, opt, remat, fix_first, param_shardings,
                            remat_scan, grads_bf16=grads_bf16)
     if accum_iter <= 1:
@@ -511,11 +518,21 @@ def train(args, model_cfg: Optional[Spann3RConfig] = None) -> Dict[str, Any]:
         if "pos_patch_embed" in params:
             params["pos_patch_embed"] = jax.tree.map(
                 lambda x: x, params["dust3r"]["patch_embed"])
-    # SPANN3R_ADAM_BF16=1: bf16 Adam-moment storage (documented deviation;
-    # see make_optimizer) — halves optimizer-state HBM traffic + residency
+    # bf16 Adam moments + bf16 grads/working-params are the DEFAULT for
+    # bf16 training since r5: both are documented deviations (fp32 master
+    # params; see make_optimizer and work_params), parity-tested, and
+    # convergence-gated together through the full train() recipe incl. a
+    # kill/auto-resume boundary (tests/data/convergence_gate_r5_deep.json;
+    # 309.6 -> 263.8 ms/step at B=4 T=5 @224, PERF.md r5). Opt out with
+    # SPANN3R_ADAM_BF16=0 / SPANN3R_GRADS_BF16=0. fp32 training keeps
+    # fp32 state and grads.
+    def _flag(name):
+        v = os.environ.get(name)
+        return bool(args.bf16) if v is None else v == "1"
+    adam_bf16 = _flag("SPANN3R_ADAM_BF16")
+    grads_bf16 = _flag("SPANN3R_GRADS_BF16")
     opt = make_optimizer(args.weight_decay,
-                         moment_dtype=jnp.bfloat16
-                         if os.environ.get("SPANN3R_ADAM_BF16") else None)
+                         moment_dtype=jnp.bfloat16 if adam_bf16 else None)
 
     if args.pretrained:
         if args.pretrained.endswith(".pth"):
@@ -577,7 +594,8 @@ def train(args, model_cfg: Optional[Spann3RConfig] = None) -> Dict[str, Any]:
     train_step, grad_step, apply_step = make_accum_train_step(
         cfg, prec, opt, args.accum_iter, remat=bool(args.remat),
         param_shardings=param_shardings,
-        remat_scan=bool(args.remat_scan) or None)
+        remat_scan=bool(args.remat_scan) or None,
+        grads_bf16=grads_bf16)
     eval_step = make_eval_step(cfg, prec)
     grad_acc = (jax.tree.map(jnp.zeros_like, params)
                 if args.accum_iter > 1 else None)

@@ -81,3 +81,47 @@ def test_convergence_gate_cpu(tmp_path):
     # per-epoch eval curve was recorded
     assert len(artifact["curve"]) >= args.epochs
     assert osp.exists(tmp_path / "gate.json")
+
+
+def test_deep_gate_artifact_invariants():
+    """The checked-in deep TPU convergence gate (tools/convergence_gate.py
+    --deep, tests/data/convergence_gate_r5_deep.json) must carry the
+    evidence the bf16-default promotion rests on (training.py train():
+    SPANN3R_ADAM_BF16 / SPANN3R_GRADS_BF16 default ON for bf16 training):
+
+    - ran under the promoted precisions (bf16 + bf16 Adam moments + bf16
+      grads with fp32 master),
+    - crossed BOTH schedule transitions the reference recipe has
+      (alpha coarse-to-fine kink at 50% of epochs, active_ratio decay
+      past 75% — ref spann3r/training.py:191-196, 272-273),
+    - survived a kill/auto-resume boundary with a continuous loss curve
+      (ref checkpoint-last auto-resume semantics),
+    - and improved both the held-out eval loss and the end-to-end
+      reconstruction chamfer.
+    """
+    import json
+
+    path = osp.join(osp.dirname(__file__), "data",
+                    "convergence_gate_r5_deep.json")
+    d = json.load(open(path))
+
+    assert d["bf16"] and d["adam_bf16"] and d["grads_bf16"], d
+    sched = d["schedule"]
+    assert sched["alpha_c2f_kink_crossed"], sched
+    assert sched["active_ratio_decay_crossed"], sched
+    # the alpha schedule actually moved off its plateau, and active_ratio
+    # ramped to 1 then decayed
+    assert min(sched["alpha_per_epoch"]) < max(sched["alpha_per_epoch"])
+    ar = sched["active_ratio_per_epoch"]
+    assert max(ar) == 1.0 and ar[-1] < 1.0, ar
+
+    kr = d["kill_resume"]
+    assert kr["child_rc"] != 0          # the child really was killed
+    assert kr["curve_continuous"], kr
+    # resume picked up near where the kill left off, not from scratch
+    gap = abs(kr["loss_after_resume"] - kr["loss_before_kill"])
+    assert gap < 0.5 * abs(kr["loss_at_start"] - kr["loss_before_kill"]), kr
+
+    assert d["eval_improved"] and d["chamfer_improved"], d
+    assert d["after"]["eval"]["loss_med"] < d["before"]["eval"]["loss_med"]
+    assert d["after"]["chamfer"]["chamfer"] < d["before"]["chamfer"]["chamfer"]

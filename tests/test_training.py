@@ -357,6 +357,27 @@ def test_remat_policy_matches_default(rng, policy, monkeypatch):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_unroll_tscan_matches_default(rng, monkeypatch):
+    """SPANN3R_UNROLL_TSCAN (lax.scan unroll of the pair-step loop) must be
+    numerics-neutral: same outputs and same gradients."""
+    cfg = tiny_cfg()
+    params = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
+    frames = jnp.asarray(rng.standard_normal((2, 3, *HW, 3)), jnp.float32) * .3
+
+    def loss(p):
+        out = sp.forward_train(p, frames, cfg, FP32, rng=None, remat=True)
+        return jnp.mean(jnp.square(out["pts3d_1"])) + jnp.mean(out["conf_2"])
+
+    monkeypatch.delenv("SPANN3R_UNROLL_TSCAN", raising=False)
+    l0, g0 = jax.value_and_grad(loss)(params)
+    monkeypatch.setenv("SPANN3R_UNROLL_TSCAN", "2")
+    l1, g1 = jax.value_and_grad(loss)(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_grads_bf16_matches_default(rng):
     """SPANN3R_GRADS_BF16 (bf16 working params + bf16 grads, fp32 master —
     training.work_params): the forward is BIT-identical to the default
@@ -396,11 +417,19 @@ def test_grads_bf16_matches_default(rng):
     # grad norm within bf16 rounding of the fp32-grads value
     np.testing.assert_allclose(float(m0["grad_norm"]),
                                float(m1["grad_norm"]), rtol=2e-2)
-    for a, b in zip(jax.tree.leaves(outs[False][0]),
-                    jax.tree.leaves(outs[True][0])):
+    # compare the applied UPDATE vectors in relative L2 per leaf —
+    # elementwise comparison after Adam is meaningless (m/sqrt(v) is a
+    # sign-like transform: coordinates with near-zero grads legitimately
+    # flip under bf16 grad rounding); the update DIRECTION must agree
+    for (a, b, p) in zip(jax.tree.leaves(outs[False][0]),
+                         jax.tree.leaves(outs[True][0]),
+                         jax.tree.leaves(params)):
         assert a.dtype == b.dtype == jnp.float32  # master stays fp32
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-2, atol=2e-5)
+        u0 = np.asarray(a, np.float64) - np.asarray(p, np.float64)
+        u1 = np.asarray(b, np.float64) - np.asarray(p, np.float64)
+        n0 = np.linalg.norm(u0)
+        assert np.linalg.norm(u0 - u1) <= 0.35 * n0 + 1e-7 * u0.size ** .5, \
+            (n0, np.linalg.norm(u0 - u1))
 
 
 def test_optimizer_nonfinite_gate(rng):

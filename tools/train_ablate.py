@@ -111,6 +111,7 @@ def main():
         os.environ.pop("SPANN3R_REMAT_SCAN", None)
         os.environ.pop("SPANN3R_NO_REMAT_ENC", None)
         os.environ.pop("SPANN3R_GRADS_BF16", None)
+        os.environ.pop("SPANN3R_UNROLL_TSCAN", None)
         remat = True
         moment_dtype = None
         chain_opt = False
@@ -139,6 +140,10 @@ def main():
                 # encoder recompute (models/spann3r.py forward_train)
                 os.environ["SPANN3R_NO_REMAT_ENC"] = "1"
                 recompute_factor -= enc_frac
+            elif part == "tunroll":
+                # fully unroll the (T-1)-iteration pair-step scan so XLA
+                # fuses the shared-weight grad-accumulation adds
+                os.environ["SPANN3R_UNROLL_TSCAN"] = str(args.frames - 1)
             elif part == "gradsbf16":
                 # bf16 working params + bf16 grads, fp32 master
                 # (training.work_params): halves scan-transpose grad
