@@ -241,9 +241,15 @@ def forward_train(params, frames: jax.Array, cfg: Spann3RConfig,
     # neutral; lax.scan unroll). With n = T-1 the loop disappears and XLA
     # can fuse the per-iteration shared-weight grad adds into their
     # consumers — the last named train-step residue (PERF.md r5,
-    # add_add_fusion ~13 ms/step). Opt-in: n-fold body = n-fold compile
-    # through the remote-compile tunnel.
-    unroll = int(os.environ.get("SPANN3R_UNROLL_TSCAN", "1"))
+    # add_add_fusion ~13 ms/step; measured 309.2 -> 289.1 ms/step
+    # wall-synced at B=4 T=5 @224). DEFAULT: full unroll for short
+    # sequences (T-1 <= 4, the reference's 5-frame recipe) — the one-time
+    # compile cost (26 s -> 123 s through the remote-compile tunnel, then
+    # disk-cached) buys ~7% per step. Longer scans keep the rolled loop:
+    # an n-fold body grows compile time/memory n-fold (the encsave remote
+    # -compile crash is the cautionary precedent). Env overrides either way.
+    env = os.environ.get("SPANN3R_UNROLL_TSCAN")
+    unroll = int(env) if env else (t - 1 if t - 1 <= 4 else 1)
     (_, _), ys = jax.lax.scan(body, (mem0, feat_k2_0), steps,
                               unroll=max(1, unroll))
     return ys

@@ -358,8 +358,10 @@ def test_remat_policy_matches_default(rng, policy, monkeypatch):
 
 
 def test_unroll_tscan_matches_default(rng, monkeypatch):
-    """SPANN3R_UNROLL_TSCAN (lax.scan unroll of the pair-step loop) must be
-    numerics-neutral: same outputs and same gradients."""
+    """The T-scan unroll (lax.scan unroll of the pair-step loop — the
+    DEFAULT for T-1 <= 4 since r5, SPANN3R_UNROLL_TSCAN=1 opts back into
+    the rolled loop) must be numerics-neutral: same outputs and same
+    gradients as the rolled scan."""
     cfg = tiny_cfg()
     params = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
     frames = jnp.asarray(rng.standard_normal((2, 3, *HW, 3)), jnp.float32) * .3
@@ -368,9 +370,9 @@ def test_unroll_tscan_matches_default(rng, monkeypatch):
         out = sp.forward_train(p, frames, cfg, FP32, rng=None, remat=True)
         return jnp.mean(jnp.square(out["pts3d_1"])) + jnp.mean(out["conf_2"])
 
-    monkeypatch.delenv("SPANN3R_UNROLL_TSCAN", raising=False)
+    monkeypatch.setenv("SPANN3R_UNROLL_TSCAN", "1")  # rolled reference
     l0, g0 = jax.value_and_grad(loss)(params)
-    monkeypatch.setenv("SPANN3R_UNROLL_TSCAN", "2")
+    monkeypatch.delenv("SPANN3R_UNROLL_TSCAN", raising=False)  # t-1=2 unroll
     l1, g1 = jax.value_and_grad(loss)(params)
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):

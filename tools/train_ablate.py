@@ -142,8 +142,14 @@ def main():
                 recompute_factor -= enc_frac
             elif part == "tunroll":
                 # fully unroll the (T-1)-iteration pair-step scan so XLA
-                # fuses the shared-weight grad-accumulation adds
+                # fuses the shared-weight grad-accumulation adds (the
+                # forward_train DEFAULT for T-1 <= 4 since r5 — explicit
+                # here for longer-T A/Bs)
                 os.environ["SPANN3R_UNROLL_TSCAN"] = str(args.frames - 1)
+            elif part == "tscan":
+                # rolled pair-step loop (the pre-r5 default), the A/B
+                # control for the unrolled forward_train default
+                os.environ["SPANN3R_UNROLL_TSCAN"] = "1"
             elif part == "gradsbf16":
                 # bf16 working params + bf16 grads, fp32 master
                 # (training.work_params): halves scan-transpose grad
