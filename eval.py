@@ -24,6 +24,10 @@ def get_args_parser():
     # valid_mask only, never by confidence)
     p.add_argument("--conf_thresh", type=float, default=0.0)
     p.add_argument("--fp32", action="store_true")
+    p.add_argument("--synth_seq_len", type=int, default=16,
+                   help="frames per procedural scene for --datasets synth "
+                        "(kf_every=2 keeps half); longer scans amortize "
+                        "per-scene overheads for steady-state FPS readings")
     p.add_argument("--int8", type=int, nargs="?", const=1, default=0,
                    help="1 (or bare --int8) = int8 weight-only serving; "
                         "2 = also int8 MXU compute for batched matmuls "
@@ -60,8 +64,8 @@ def build_eval_datasets(args):
         # convergence gates' dataset
         from spann3r_tpu.datasets import SynthRoom
         out["synth"] = SynthRoom(num_seq=3, resolution=args.resolution,
-                                 seq_len=16, kf_every=2, full_video=True,
-                                 scene_seed=9)
+                                 seq_len=args.synth_seq_len, kf_every=2,
+                                 full_video=True, scene_seed=9)
     return out
 
 

@@ -19,6 +19,7 @@ TPU-first deviations from the reference's *implementation* (same semantics):
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -348,6 +349,64 @@ def init_video_carry(cfg: Spann3RConfig, img_hw: Tuple[int, int],
 # streaming inference engine
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=64)
+def _engine_programs(cfg: Spann3RConfig, img_hw: Tuple[int, int],
+                     prec: Precision) -> Dict[str, object]:
+    """Jitted serving programs, memoized on the (frozen) config tuple.
+
+    Every InferenceEngine with the same (cfg, resolution, precision)
+    shares ONE set of jitted callables, so multi-scene drivers (eval.py
+    loops one engine per scene, api.reconstruct_video one per call) pay
+    Python tracing once per process instead of once per scene — several
+    seconds/scene of host time on a 1-core box, on top of the disk-cached
+    XLA compile.  The reference has no analogue (eager torch has no trace
+    step); this is jit-caching hygiene, not a behaviour change.
+    """
+    dcfg = cfg.dust3r
+
+    def _prep(img):
+        if img.dtype == jnp.uint8:
+            img = img.astype(prec.compute_dtype) * (2.0 / 255.0) - 1.0
+        return img
+
+    def fused(p, mem, feat1, feat_k2, img2, first, compute_res2):
+        feat2, pos = d3.encode_image(p["dust3r"], _prep(img2), dcfg, prec)
+        if first:
+            feat_fuse = feat1
+        else:
+            feat_fuse, mem = memory_read(_memory_norms(p), mem, feat_k2,
+                                         attn_thresh=cfg.memory.attn_thresh)
+        out = pair_step(p, cfg, feat_fuse, feat1, feat2, pos, img_hw, prec,
+                        compute_res2=compute_res2)
+        mem = add_mem_check(mem, out.feat_k1, out.cur_v + out.feat_k1,
+                            cfg.memory)
+        return mem, feat2, out
+
+    return {
+        "encode": jax.jit(
+            lambda p, img: d3.encode_image(p["dust3r"], _prep(img), dcfg,
+                                           prec)),
+        "fused": jax.jit(fused, static_argnames=("first", "compute_res2"),
+                         donate_argnums=(1,)),
+        "head2": jax.jit(lambda p, hs: head2_from_hooks(
+            p, cfg, hs, img_hw, prec)),
+        "read": jax.jit(
+            lambda p, mem, q: memory_read(_memory_norms(p), mem, q,
+                                          attn_thresh=cfg.memory.attn_thresh)),
+        "pair": jax.jit(
+            lambda p, fuse, f1, f2, pos: pair_step(p, cfg, fuse, f1, f2, pos,
+                                                   img_hw, prec)),
+        "write": jax.jit(lambda mem, k, v: add_mem_check(mem, k, v,
+                                                         cfg.memory)),
+        # one jitted callable handles every chunk length (shapes key the
+        # jit cache internally); no per-chunk re-wrap needed
+        "scan_chunk": jax.jit(
+            lambda p, carry, imgs, valid: scan_video_chunk(
+                p, cfg, carry, imgs, valid, img_hw, prec),
+            donate_argnums=(1,)),
+    }
+
+
 class InferenceEngine:
     """Incremental reconstruction over an arbitrarily long frame stream.
 
@@ -367,47 +426,21 @@ class InferenceEngine:
         self.params = params
         self.cfg = cfg
         self.prec = prec
-        self.img_hw = img_hw
+        self.img_hw = tuple(img_hw)
         self.batch = batch
         dcfg = cfg.dust3r
         self.p_tokens = (img_hw[0] // dcfg.patch_size) * (img_hw[1] // dcfg.patch_size)
         self.capacity = cfg.memory.capacity(self.p_tokens)
 
-        def _prep(img):
-            if img.dtype == jnp.uint8:
-                img = img.astype(prec.compute_dtype) * (2.0 / 255.0) - 1.0
-            return img
-
-        self._encode = jax.jit(
-            lambda p, img: d3.encode_image(p["dust3r"], _prep(img), dcfg, prec))
-
-        def fused(p, mem, feat1, feat_k2, img2, first, compute_res2):
-            feat2, pos = d3.encode_image(p["dust3r"], _prep(img2), dcfg, prec)
-            if first:
-                feat_fuse = feat1
-            else:
-                feat_fuse, mem = memory_read(_memory_norms(p), mem, feat_k2,
-                                             attn_thresh=cfg.memory.attn_thresh)
-            out = pair_step(p, cfg, feat_fuse, feat1, feat2, pos, img_hw, prec,
-                            compute_res2=compute_res2)
-            mem = add_mem_check(mem, out.feat_k1, out.cur_v + out.feat_k1,
-                                cfg.memory)
-            return mem, feat2, out
-
-        self._fused = jax.jit(fused,
-                              static_argnames=("first", "compute_res2"),
-                              donate_argnums=(1,))
-        self._head2_jit = jax.jit(lambda p, hs: head2_from_hooks(
-            p, cfg, hs, img_hw, prec))
+        progs = _engine_programs(cfg, self.img_hw, prec)
+        self._encode = progs["encode"]
+        self._fused = progs["fused"]
+        self._head2_jit = progs["head2"]
         # kept for offline mode / tests that drive the pieces directly
-        self._read = jax.jit(
-            lambda p, mem, q: memory_read(_memory_norms(p), mem, q,
-                                          attn_thresh=cfg.memory.attn_thresh))
-        self._pair = jax.jit(
-            lambda p, fuse, f1, f2, pos: pair_step(p, cfg, fuse, f1, f2, pos,
-                                                   img_hw, prec))
-        self._write = jax.jit(
-            lambda mem, k, v: add_mem_check(mem, k, v, cfg.memory))
+        self._read = progs["read"]
+        self._pair = progs["pair"]
+        self._write = progs["write"]
+        self._scan_chunk = progs["scan_chunk"]
         self.reset()
 
     def reset(self):
@@ -499,13 +532,6 @@ class InferenceEngine:
         """
         import numpy as np
 
-        if not hasattr(self, "_scan_chunk") or self._chunk != chunk:
-            self._chunk = chunk
-            self._scan_chunk = jax.jit(
-                lambda p, carry, imgs, valid: scan_video_chunk(
-                    p, self.cfg, carry, imgs, valid, self.img_hw, self.prec),
-                donate_argnums=(1,))
-
         t = len(frames)
         carry = init_video_carry(self.cfg, self.img_hw, self.batch, self.prec)
         res1_chunks = []
@@ -533,10 +559,7 @@ class InferenceEngine:
         if not preds:  # no pair was ever formed (e.g. a 1-frame video)
             return []
         # deferred target-frame head: once per video on the carried states
-        if not hasattr(self, "_head2"):
-            self._head2 = jax.jit(lambda p, hs: head2_from_hooks(
-                p, self.cfg, hs, self.img_hw, self.prec))
-        res2 = self._head2(self.params, carry[3])
+        res2 = self._head2_jit(self.params, carry[3])
         preds.append({"pts3d_in_other_view":
                       np.asarray(res2["pts3d"], np.float32),
                       "conf": np.asarray(res2["conf"], np.float32)})

@@ -33,8 +33,14 @@ if REPO not in sys.path:
 def main():
     rank, nproc, port, outdir = (int(sys.argv[1]), int(sys.argv[2]),
                                  sys.argv[3], sys.argv[4])
+    # shutdown_timeout_seconds: the two workers time-share ONE host core
+    # with whatever else runs on this box, so at interpreter exit the ranks
+    # can be skewed by minutes (observed: shutdown barrier DEADLINE_EXCEEDED
+    # at the 300 s default killing an otherwise-passing run).  The parent
+    # test enforces its own overall timeout.
     jax.distributed.initialize(coordinator_address=f"localhost:{port}",
-                               num_processes=nproc, process_id=rank)
+                               num_processes=nproc, process_id=rank,
+                               shutdown_timeout_seconds=1200)
     assert jax.process_count() == nproc
     assert jax.device_count() == 2 * nproc
 

@@ -32,7 +32,13 @@ def _free_port():
 
 def test_two_process_train_eval_ckpt(tmp_path):
     port = _free_port()
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # SPANN3R_COMPILE_CACHE=0: the persistent on-disk cache is a hazard
+    # here, not a help — CPU AOT entries written under a different host
+    # feature set load with "may SIGILL" warnings, and an asymmetric
+    # hit/miss between the two ranks skews them by whole compiles, feeding
+    # the shutdown-barrier timeout.  Fresh symmetric compiles are small at
+    # this depth.
+    env = dict(os.environ, JAX_PLATFORMS="cpu", SPANN3R_COMPILE_CACHE="0")
     env.pop("XLA_FLAGS", None)  # workers pick their own device counts
     procs, logs = [], []
     for rank in (0, 1):

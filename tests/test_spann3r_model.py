@@ -175,3 +175,24 @@ def test_forward_train_grads_finite(rng):
     # gradients flow into the memory pathway params
     gv = jax.tree.leaves(g["value_encoder"]) + jax.tree.leaves(g["attn_head_1"])
     assert any(float(jnp.abs(l).max()) > 0 for l in gv)
+
+
+def test_engine_programs_shared_across_instances():
+    """Serving engines with equal (cfg, hw, precision) share ONE set of
+    jitted programs (models/spann3r._engine_programs lru_cache), so
+    multi-scene drivers (eval.py: one engine per scene) trace once per
+    process.  Distinct configs must NOT share."""
+    cfg = Spann3RConfig(
+        dust3r=DUSt3RConfig(img_size=HW, patch_size=16,
+                            enc=ViTConfig(dim=64, depth=2, num_heads=4),
+                            dec=ViTConfig(dim=48, depth=2, num_heads=4),
+                            head_type="linear"),
+        value_enc_depth=2, value_enc_dim=64, value_enc_heads=4,
+        attn_head_in=64 + 48, attn_head_out=64)
+    params = sp.init_spann3r(jax.random.PRNGKey(0), cfg)
+    e1 = sp.InferenceEngine(params, cfg, HW, FP32)
+    e2 = sp.InferenceEngine(params, cfg, HW, FP32)
+    for name in ("_encode", "_fused", "_head2_jit", "_scan_chunk"):
+        assert getattr(e1, name) is getattr(e2, name), name
+    e3 = sp.InferenceEngine(params, cfg, (32, 32), FP32)
+    assert e3._fused is not e1._fused
