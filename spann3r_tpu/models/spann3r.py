@@ -544,9 +544,15 @@ class InferenceEngine:
                 valid = np.concatenate([valid, np.zeros(pad, bool)])
             carry, ys = self._scan_chunk(self.params, carry,
                                          jnp.asarray(part), jnp.asarray(valid))
-            res1_chunks.append(jax.tree.map(np.asarray, ys))
+            # start the device->host copy NOW and keep computing: the next
+            # chunk only depends on `carry`, so its dispatch overlaps this
+            # chunk's output transfer (through the tunnel the fetch runs at
+            # ~40MB/s — serial fetches would idle the chip several seconds
+            # per 192-frame scan; on local hosts this still hides PCIe).
+            jax.tree.map(lambda a: a.copy_to_host_async(), ys)
+            res1_chunks.append(ys)
 
-        ys = {k: np.concatenate([c[k] for c in res1_chunks])
+        ys = {k: np.concatenate([np.asarray(c[k]) for c in res1_chunks])
               for k in res1_chunks[0]}
         emitted = ys["emitted"]
         preds = []
