@@ -30,6 +30,15 @@ def _enable_persistent_compile_cache():
     Opt out with SPANN3R_COMPILE_CACHE=0; an explicit
     JAX_COMPILATION_CACHE_DIR (env or jax.config) wins over our default
     of ~/.cache/spann3r_tpu/xla_cache.
+
+    CPU caveat: XLA:CPU cache entries embed AOT machine code specialized to
+    the *compiling* host's CPU features, and the cache key does NOT include
+    those features — an entry written on a different machine (e.g. a baked
+    image cache) loads here with "could lead to execution errors such as
+    SIGILL" warnings. CPU runs (tests, the multichip dryrun) therefore get a
+    per-host-fingerprint subdirectory: same-machine reuse keeps working,
+    foreign entries become unreachable. Accelerator entries are ISA-stable
+    across hosts and share the main directory.
     """
     import os
     val = os.environ.get("SPANN3R_COMPILE_CACHE", "")
@@ -39,11 +48,32 @@ def _enable_persistent_compile_cache():
         import jax
         if jax.config.jax_compilation_cache_dir:
             return
-        path = val or os.path.join(
-            os.path.expanduser("~"), ".cache", "spann3r_tpu", "xla_cache")
+        path = val
+        if not path:
+            path = os.path.join(
+                os.path.expanduser("~"), ".cache", "spann3r_tpu", "xla_cache")
+            platforms = (jax.config.jax_platforms
+                         or os.environ.get("JAX_PLATFORMS", ""))
+            preferred = platforms.split(",")[0].strip()
+            if preferred in ("", "cpu"):  # cpu run, or unknown -> assume cpu
+                path = os.path.join(path, "cpu-" + _host_fingerprint())
         jax.config.update("jax_compilation_cache_dir", path)
     except Exception:  # pragma: no cover - very old jax / readonly config
         pass
+
+
+def _host_fingerprint():
+    """Short stable hash of this host's CPU feature set (see CPU caveat)."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            lines = {ln.strip() for ln in f
+                     if ln.startswith(("flags", "model name"))}
+        blob = "\n".join(sorted(lines))
+    except OSError:  # pragma: no cover - non-Linux
+        import platform
+        blob = platform.processor() + platform.machine()
+    return hashlib.sha256(blob.encode()).hexdigest()[:12]
 
 
 _enable_persistent_compile_cache()
